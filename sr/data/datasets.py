@@ -1,0 +1,174 @@
+"""Dataset acquisition and folder datasets.
+
+Mirrors the reference's data layer API (reference: data.py:download_bsds300,
+data.py:get_training_set, data.py:get_test_set) with the same directory
+conventions:
+
+  * BSDS300 lives at ``<root>/BSDS300/images/{train,test}`` and is
+    downloaded/extracted on first use (when the environment has network).
+  * Named test sets (Set5, Set14, BSD100, Urban100) live at
+    ``<root>/test/<name>``.
+
+Datasets here only enumerate + decode images to uint8 host arrays; all
+augmentation/degradation runs on device (sr/data/pipeline.py). A
+:class:`SyntheticDataset` provides deterministic procedural images so that
+tests and benchmarks run in network-less environments.
+"""
+
+from __future__ import annotations
+
+import os
+import tarfile
+import urllib.request
+from dataclasses import dataclass
+
+import numpy as np
+
+from sr.data.decode import list_images, load_img
+
+BSDS300_URL = (
+    "http://www2.eecs.berkeley.edu/Research/Projects/CS/vision/bsds/BSDS300-images.tgz"
+)
+
+
+def download_bsds300(dest: str) -> str:
+    """Download + extract BSDS300 into ``dest`` if absent; return image dir.
+
+    (reference: data.py:download_bsds300.) Raises a clear RuntimeError when
+    the environment has no network and the data is absent.
+    """
+    output_dir = os.path.join(dest, "BSDS300", "images")
+    if os.path.isdir(output_dir):
+        return output_dir
+    os.makedirs(dest, exist_ok=True)
+    archive = os.path.join(dest, os.path.basename(BSDS300_URL))
+    if not os.path.exists(archive):
+        try:
+            print(f"downloading {BSDS300_URL}")
+            urllib.request.urlretrieve(BSDS300_URL, archive)  # noqa: S310
+        except OSError as e:
+            raise RuntimeError(
+                f"BSDS300 not found at {output_dir} and download failed ({e}). "
+                "Provide the dataset manually or use --train_dataset synthetic."
+            ) from e
+    with tarfile.open(archive) as tar:
+        tar.extractall(dest)  # noqa: S202
+    os.remove(archive)
+    return output_dir
+
+
+@dataclass
+class FolderDataset:
+    """All images of a folder, decoded once to uint8 host arrays.
+
+    SR corpora are small (BSDS300 train ≈ 200 images); decoding up front
+    and keeping uint8 arrays in host RAM removes per-step PIL work from
+    the training hot loop entirely.
+    """
+
+    paths: list[str]
+    color_space: str = "ycbcr"
+
+    def __post_init__(self):
+        self._cache: dict[int, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        if i not in self._cache:
+            self._cache[i] = load_img(self.paths[i], self.color_space)
+        return self._cache[i]
+
+    @property
+    def names(self) -> list[str]:
+        return [os.path.splitext(os.path.basename(p))[0] for p in self.paths]
+
+
+@dataclass
+class SyntheticDataset:
+    """Deterministic procedural natural-ish images (for tests/benches).
+
+    Band-limited random fields: sums of oriented sinusoids plus smoothed
+    noise, quantized to uint8. Enough spectral structure that SR models
+    can overfit and PSNR behaves sanely.
+    """
+
+    num_images: int = 16
+    size: tuple[int, int] = (128, 128)
+    channels: int = 3
+    seed: int = 0
+
+    def __len__(self) -> int:
+        return self.num_images
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed * 100003 + i)
+        h, w = self.size
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        img = np.zeros((h, w, self.channels))
+        for _ in range(6):
+            fx, fy = rng.uniform(0.01, 0.2, size=2)
+            phase = rng.uniform(0, 2 * np.pi)
+            amp = rng.uniform(10, 40)
+            wave = amp * np.sin(2 * np.pi * (fx * xx + fy * yy) + phase)
+            img += wave[..., None] * rng.uniform(0.3, 1.0, size=self.channels)
+        # smoothed noise for texture
+        noise = rng.normal(0, 20, size=(h, w, self.channels))
+        k = np.array([0.25, 0.5, 0.25])
+        for ax in (0, 1):
+            noise = np.apply_along_axis(
+                lambda v: np.convolve(v, k, mode="same"), ax, noise
+            )
+        img = img + noise + 128.0
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    @property
+    def names(self) -> list[str]:
+        return [f"synthetic_{i:03d}" for i in range(self.num_images)]
+
+
+def get_training_set(
+    data_dir: str,
+    datasets: list[str] | str,
+    color_space: str = "ycbcr",
+):
+    """Training dataset by name(s). (reference: data.py:get_training_set)
+
+    Accepts 'bsds300' (→ images/train), 'synthetic', or any directory name
+    under ``data_dir/train/<name>``.
+    """
+    if isinstance(datasets, str):
+        datasets = [datasets]
+    paths: list[str] = []
+    for name in datasets:
+        lname = name.lower()
+        if lname == "synthetic":
+            return SyntheticDataset(num_images=32, size=(160, 160), seed=0)
+        if lname == "bsds300":
+            root = download_bsds300(data_dir)
+            paths += list_images(os.path.join(root, "train"))
+        else:
+            paths += list_images(os.path.join(data_dir, "train", name))
+    if not paths:
+        raise RuntimeError(f"no training images found for {datasets} in {data_dir}")
+    return FolderDataset(paths, color_space)
+
+
+def get_test_set(
+    data_dir: str,
+    dataset: str,
+    color_space: str = "ycbcr",
+):
+    """Test dataset by name. (reference: data.py:get_test_set)
+
+    'bsds300' → images/test; 'synthetic' → procedural; otherwise
+    ``data_dir/test/<Set5|Set14|BSD100|Urban100|...>``.
+    """
+    lname = dataset.lower()
+    if lname == "synthetic":
+        return SyntheticDataset(num_images=5, size=(128, 128), seed=7)
+    if lname == "bsds300":
+        root = download_bsds300(data_dir)
+        return FolderDataset(list_images(os.path.join(root, "test")), color_space)
+    return FolderDataset(list_images(os.path.join(data_dir, "test", dataset)), color_space)

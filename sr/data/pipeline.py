@@ -1,0 +1,201 @@
+"""On-device training pipeline: HBM image bank + jitted patch sampler.
+
+The reference runs its whole per-item transform chain (random scale →
+random crop → rotate/flip → PIL bicubic downscale) in CPU DataLoader
+workers and copies each batch to the device
+(reference: dataset.py:DatasetFromFolder.__getitem__). TPU-first inversion:
+
+  * The entire training corpus is decoded ONCE on host, orientation-
+    normalized, stacked, and placed in HBM as a uint8 array.
+  * Each training batch is produced by ONE jitted function of a PRNG key:
+    image pick, random-scale (discrete set, lax.switch over static resize
+    matrices), random square crop (dynamic_slice), rot90/flip augmentation,
+    bicubic LR degradation (two MXU matmuls, Pillow-parity weights), and
+    [0,1] normalization — all device-side, with static shapes.
+  * The sampler is dispatched ahead of consumption (async dispatch acts as
+    a natural double-buffer; see :func:`prefetch`).
+
+Behavioral deltas vs the reference (documented on purpose):
+  * random scale is drawn from {1.0, 0.9, 0.8, 0.7, 0.6, 0.5} instead of
+    continuous U[0.5, 1] — XLA needs static shapes per branch.
+  * device-side degradation uses float32 Pillow-parity weights (max error
+    <1/255 vs Pillow's fixed-point path, golden-tested); eval uses the
+    bit-exact host path (sr/kernels/bicubic.py:pil_resize_exact_u8).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sr.kernels.bicubic import resize2d
+
+RANDOM_SCALES = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
+
+
+def stack_corpus(images: list[np.ndarray], channels: int) -> np.ndarray:
+    """Orientation-normalize + center-crop a corpus to a common (N,H,W,C).
+
+    Portrait images are rotated 90° (harmless: rotation is already part of
+    the augmentation menu), then all images are center-cropped to the
+    minimum common size.
+    """
+    normed = []
+    for im in images:
+        if im.ndim == 2:
+            im = im[:, :, None]
+        if im.shape[0] > im.shape[1]:
+            im = np.rot90(im, axes=(0, 1)).copy()
+        if channels == 1 and im.shape[2] >= 1:
+            im = im[:, :, :1]
+        elif channels == 3 and im.shape[2] == 1:
+            im = np.repeat(im, 3, axis=2)
+        else:
+            im = im[:, :, :channels]
+        normed.append(im)
+    hmin = min(im.shape[0] for im in normed)
+    wmin = min(im.shape[1] for im in normed)
+    out = np.stack(
+        [
+            im[
+                (im.shape[0] - hmin) // 2 : (im.shape[0] - hmin) // 2 + hmin,
+                (im.shape[1] - wmin) // 2 : (im.shape[1] - wmin) // 2 + wmin,
+            ]
+            for im in normed
+        ]
+    )
+    return np.ascontiguousarray(out)
+
+
+@dataclass
+class PatchPipeline:
+    """Jitted (lr, hr) patch-batch sampler over an HBM-resident corpus.
+
+    Args mirror the reference's dataset knobs: ``crop_size`` (HR patch),
+    ``scale_factor``, ``batch_size``, ``channels`` (1 = Y, 3 = RGB),
+    ``augment`` (rot/flip), ``random_scale``. ``pre_upsample`` additionally
+    returns the bicubic-upscaled LR (the input convention of
+    SRCNN/VDSR/DRCN — reference: utils.py:img_interp).
+    """
+
+    images: list[np.ndarray] | np.ndarray
+    crop_size: int = 128
+    scale_factor: int = 4
+    batch_size: int = 32
+    channels: int = 3
+    augment: bool = True
+    random_scale: bool = True
+    pre_upsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+    _bank: jax.Array = field(init=False, repr=False)
+    _sample: callable = field(init=False, repr=False)
+
+    def __post_init__(self):
+        if isinstance(self.images, np.ndarray):
+            bank = self.images
+        else:
+            bank = stack_corpus(list(self.images), self.channels)
+        n, h, w, c = bank.shape
+        assert c == self.channels, (bank.shape, self.channels)
+        max_patch = int(np.ceil(self.crop_size / min(RANDOM_SCALES)))
+        if self.random_scale and max_patch > min(h, w):
+            raise ValueError(
+                f"crop_size {self.crop_size} with random_scale needs images "
+                f"≥{max_patch}px, corpus is {h}x{w}"
+            )
+        if self.crop_size % self.scale_factor:
+            raise ValueError("crop_size must divide by scale_factor")
+        self._bank = jax.device_put(bank)
+        self._sample = jax.jit(self._make_sampler(n, h, w))
+
+    # -- sampler construction (all static shapes) ------------------------
+
+    def _make_sampler(self, n: int, h: int, w: int):
+        crop = self.crop_size
+        lr_size = crop // self.scale_factor
+        scales = RANDOM_SCALES if self.random_scale else (1.0,)
+        # static source-patch size per scale branch
+        patch_sizes = [min(int(round(crop / s)), min(h, w)) for s in scales]
+
+        def one(bank, key):
+            ks = jax.random.split(key, 6)
+            idx = jax.random.randint(ks[0], (), 0, n)
+            img = bank[idx]  # (h, w, c) uint8
+
+            def crop_branch(p):
+                def fn(key):
+                    ky, kx = jax.random.split(key)
+                    top = jax.random.randint(ky, (), 0, h - p + 1)
+                    left = jax.random.randint(kx, (), 0, w - p + 1)
+                    patch = jax.lax.dynamic_slice(
+                        img, (top, left, 0), (p, p, self.channels)
+                    ).astype(jnp.float32)
+                    if p != crop:
+                        patch = resize2d(patch, (crop, crop))
+                    return patch
+
+                return fn
+
+            if len(scales) > 1:
+                s_idx = jax.random.randint(ks[1], (), 0, len(scales))
+                hr = jax.lax.switch(
+                    s_idx, [crop_branch(p) for p in patch_sizes], ks[2]
+                )
+            else:
+                hr = crop_branch(patch_sizes[0])(ks[2])
+
+            if self.augment:
+                k_rot = jax.random.randint(ks[3], (), 0, 4)
+                hr = jax.lax.switch(
+                    k_rot, [lambda x, i=i: jnp.rot90(x, k=i) for i in range(4)], hr
+                )
+                hr = jax.lax.cond(
+                    jax.random.bernoulli(ks[4]), lambda x: x[:, ::-1], lambda x: x, hr
+                )
+            lr = resize2d(hr, (lr_size, lr_size))
+            out = {"hr": hr, "lr": lr}
+            if self.pre_upsample:
+                out["bc"] = resize2d(lr, (crop, crop))
+            return out
+
+        def sample(bank, key):
+            keys = jax.random.split(key, self.batch_size)
+            batch = jax.vmap(lambda k: one(bank, k))(keys)
+            # normalize to [0,1] in the compute dtype
+            return jax.tree.map(lambda x: (x / 255.0).astype(self.dtype), batch)
+
+        return sample
+
+    def __call__(self, key: jax.Array) -> dict[str, jax.Array]:
+        """One (lr, hr[, bc]) batch dict, NHWC in [0,1]."""
+        return self._sample(self._bank, key)
+
+    def batches(self, key: jax.Array, num: int | None = None) -> Iterator[dict]:
+        """Infinite (or ``num``-long) stream of batches."""
+        i = 0
+        while num is None or i < num:
+            key, sub = jax.random.split(key)
+            yield self._sample(self._bank, sub)
+            i += 1
+
+
+def prefetch(it: Iterator, size: int = 2) -> Iterator:
+    """Keep ``size`` already-dispatched batches in flight.
+
+    JAX dispatch is async, so simply pulling ahead of the consumer
+    overlaps sampler compute + HBM residency with the training step —
+    the HBM-resident batch queue from BASELINE.json.north_star.
+    """
+    import collections
+
+    buf = collections.deque()
+    for x in it:
+        buf.append(x)
+        if len(buf) > size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -1,0 +1,108 @@
+"""Reference-convention image quality metrics.
+
+Reproduces the evaluation conventions of the reference repo
+(reference: utils.py:PSNR, utils.py:shave, dataset.py:calculate_valid_crop_size,
+dataset.py:load_img):
+
+  * PSNR is ``20·log10(255 / rmse)`` computed on de-normalized ([0,255])
+    arrays, on the Y channel of YCbCr for 1-channel models.
+  * A border of ``scale_factor`` pixels is shaved before PSNR.
+  * Test images are center-cropped to a multiple of the scale factor.
+  * YCbCr follows PIL's JPEG/BT.601 full-range convention.
+
+These functions accept numpy or JAX arrays; pure ones are jittable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def calculate_valid_crop_size(crop_size: int, scale_factor: int) -> int:
+    """Largest size ≤ crop_size divisible by scale_factor.
+
+    (reference: dataset.py:calculate_valid_crop_size)
+    """
+    return crop_size - (crop_size % scale_factor)
+
+
+def modulo_crop(img, scale_factor: int):
+    """Center-crop (H, W[, C]) image so H and W divide by scale_factor."""
+    h, w = img.shape[:2]
+    ch = calculate_valid_crop_size(h, scale_factor)
+    cw = calculate_valid_crop_size(w, scale_factor)
+    top = (h - ch) // 2
+    left = (w - cw) // 2
+    return img[top : top + ch, left : left + cw]
+
+
+def shave(img, border: int):
+    """Remove ``border`` pixels from every spatial edge.
+
+    Accepts (H,W), (H,W,C) or (B,H,W,C). (reference: utils.py:shave)
+    """
+    if border == 0:
+        return img
+    if img.ndim == 2 or img.ndim == 3:
+        return img[border:-border, border:-border]
+    if img.ndim == 4:
+        return img[:, border:-border, border:-border, :]
+    raise ValueError(f"unsupported ndim {img.ndim}")
+
+
+def psnr(pred, target, max_val: float = 255.0, border: int = 0) -> float:
+    """Peak signal-to-noise ratio on de-normalized arrays.
+
+    (reference: utils.py:PSNR — ``20·log10(255 / rmse)`` after shave.)
+    Inputs may be any float/int arrays of identical shape; computed in
+    float64 on host for determinism.
+    """
+    p = np.asarray(shave(pred, border), dtype=np.float64)
+    t = np.asarray(shave(target, border), dtype=np.float64)
+    mse = np.mean((p - t) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(20.0 * np.log10(max_val / np.sqrt(mse)))
+
+
+# ---------------------------------------------------------------------------
+# YCbCr — PIL convert('YCbCr') parity (JPEG full-range BT.601)
+# ---------------------------------------------------------------------------
+
+# Forward matrix, applied to RGB in [0,255]; offsets added after.
+_RGB2YCBCR = np.array(
+    [
+        [0.299, 0.587, 0.114],
+        [-0.168736, -0.331264, 0.5],
+        [0.5, -0.418688, -0.081312],
+    ],
+    dtype=np.float64,
+)
+_YCBCR_OFFSET = np.array([0.0, 128.0, 128.0], dtype=np.float64)
+
+_YCBCR2RGB = np.linalg.inv(_RGB2YCBCR)
+
+
+def rgb_to_ycbcr(rgb, unit_range: bool = False):
+    """RGB → YCbCr (full-range BT.601, the PIL 'YCbCr' convention).
+
+    ``rgb`` is (..., 3). If ``unit_range``, values are in [0,1] and the
+    chroma offset is 128/255.
+    """
+    m = jnp.asarray(_RGB2YCBCR, dtype=jnp.float32)
+    off = jnp.asarray(_YCBCR_OFFSET, dtype=jnp.float32)
+    if unit_range:
+        off = off / 255.0
+    x = jnp.asarray(rgb, dtype=jnp.float32)
+    return jnp.einsum("...c,kc->...k", x, m) + off
+
+
+def ycbcr_to_rgb(ycc, unit_range: bool = False):
+    """YCbCr → RGB inverse of :func:`rgb_to_ycbcr` (unclipped)."""
+    m = jnp.asarray(_YCBCR2RGB, dtype=jnp.float32)
+    off = jnp.asarray(_YCBCR_OFFSET, dtype=jnp.float32)
+    if unit_range:
+        off = off / 255.0
+    x = jnp.asarray(ycc, dtype=jnp.float32) - off
+    return jnp.einsum("...c,kc->...k", x, m)

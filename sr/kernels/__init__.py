@@ -1,0 +1,8 @@
+from sr.kernels.bicubic import (  # noqa: F401
+    resize2d,
+    resize2d_unit,
+    resize_matrix,
+    pil_resize_exact_u8,
+    precompute_coeffs,
+)
+from sr.kernels.depth_to_space import depth_to_space, space_to_depth  # noqa: F401

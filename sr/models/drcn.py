@@ -1,0 +1,98 @@
+"""DRCN — Kim et al., CVPR 2016. (reference: drcn.py:Net)
+
+Deeply-recursive net on a bicubic-pre-upsampled input:
+embedding (2 convs) → ONE weight-shared recursive conv applied D=16 times →
+shared reconstruction net applied to every recursion state, each prediction
+residual-added to the input → learnable recursion-ensemble weights combine
+the D predictions into the final output.
+
+Loss = α·mean_d MSE(y_d) + (1−α)·MSE(final) with α annealed 1→0
+(sr/train/losses.py:recursive_supervision_loss); the ensemble weights are
+trained through the final-output term. The recursion is a ``lax.scan`` over
+the shared conv — one compiled body regardless of depth.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sr.models.registry import ModelSpec, register
+from sr.nn.blocks import ConvBlock
+from sr.train.losses import recursive_supervision_loss
+from sr.train.optim import adam
+
+
+class Net(nn.Module):
+    num_channels: int = 1
+    base_filter: int = 64  # paper uses 256; collection-scale default 64
+    num_recursions: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.base_filter
+        inp = x
+        # embedding net
+        h = ConvBlock(f, 3, act="relu", dtype=self.dtype)(x, train)
+        h = ConvBlock(f, 3, act="relu", dtype=self.dtype)(h, train)
+
+        # inference net: one shared conv applied D times (weight sharing
+        # is what makes it "recursive" — same flax module instance)
+        rec_conv = nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype)
+        # reconstruction net (shared across recursion outputs)
+        recon1 = ConvBlock(f, 3, act="relu", dtype=self.dtype)
+        recon2 = nn.Conv(self.num_channels, (3, 3), padding="SAME", dtype=self.dtype)
+
+        states = []
+        for _ in range(self.num_recursions):
+            h = nn.relu(rec_conv(h))
+            states.append(h)
+        # per-recursion predictions (residual to the pre-upsampled input)
+        ys = jnp.stack(
+            [recon2(recon1(s, train)) + inp for s in states], axis=0
+        )  # (D, B, H, W, C)
+
+        # learnable ensemble weights, normalized to sum 1
+        w = self.param(
+            "recursion_weights",
+            lambda k: jnp.full((self.num_recursions,), 1.0 / self.num_recursions),
+        ).astype(ys.dtype)
+        w = w / jnp.sum(w)
+        final = jnp.einsum("d,dbhwc->bhwc", w, ys)
+        if train:
+            return final, ys
+        return final
+
+
+def _make(cfg):
+    return Net(
+        cfg.num_channels, cfg.base_filter, cfg.num_recursions, jnp.dtype(cfg.dtype)
+    )
+
+
+def _loss(out, batch, ctx):
+    final, ys = out
+    return recursive_supervision_loss(ys, final, batch["hr"], ctx["alpha"])
+
+
+def _schedule(cfg, step):
+    # α anneals linearly 1 → 0 over the run (recursive supervision fades
+    # in favor of the ensembled final output)
+    total = jnp.maximum(cfg.num_epochs * cfg.steps_per_epoch, 1)
+    return {"alpha": jnp.clip(1.0 - step / total, 0.0, 1.0)}
+
+
+SPEC = register(
+    ModelSpec(
+        name="DRCN",
+        make_model=_make,
+        loss=_loss,
+        make_tx=lambda cfg: adam(cfg.effective_lr),
+        schedule=_schedule,
+        pre_upsample=True,
+        default_channels=1,
+        default_lr=1e-4,
+    )
+)

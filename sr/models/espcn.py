@@ -1,0 +1,59 @@
+"""ESPCN — Shi et al., CVPR 2016. (reference: espcn.py:Net)
+
+Sub-pixel convolution net: 5-3-3 convs (c→64→32→c·r²) on the RAW LR input,
+then pixel shuffle. The shuffle is sr.kernels.depth_to_space (Pallas-fusable
+tail). MSE loss, Adam.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sr.kernels.depth_to_space import depth_to_space
+from sr.models.registry import ModelSpec, register
+from sr.nn.blocks import ConvBlock
+from sr.train.losses import mse_loss
+from sr.train.optim import adam
+
+
+class Net(nn.Module):
+    num_channels: int = 1
+    base_filter: int = 64
+    scale_factor: int = 4
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        r = self.scale_factor
+        x = ConvBlock(self.base_filter, 5, act="relu", dtype=self.dtype)(x, train)
+        x = ConvBlock(self.base_filter // 2, 3, act="relu", dtype=self.dtype)(x, train)
+        x = nn.Conv(
+            self.num_channels * r * r, (3, 3), padding="SAME", dtype=self.dtype
+        )(x)
+        return depth_to_space(x, r, use_pallas=self.use_pallas)
+
+
+def _make(cfg):
+    return Net(
+        cfg.num_channels, cfg.base_filter, cfg.scale_factor,
+        cfg.use_pallas, jnp.dtype(cfg.dtype),
+    )
+
+
+def _loss(out, batch, ctx):
+    return mse_loss(out, batch["hr"]), {}
+
+
+SPEC = register(
+    ModelSpec(
+        name="ESPCN",
+        make_model=_make,
+        loss=_loss,
+        make_tx=lambda cfg: adam(cfg.effective_lr),
+        pre_upsample=False,
+        default_channels=1,
+        default_lr=1e-3,
+    )
+)

@@ -1,0 +1,63 @@
+"""FSRCNN — Dong et al., ECCV 2016. (reference: fsrcnn.py:Net)
+
+Hourglass on the RAW LR input: feature 5×5 (d=56, PReLU) → shrink 1×1
+(s=12) → m=4 mapping convs 3×3 → expand 1×1 (d) → transposed conv 9×9
+stride r. MSE loss, Adam.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sr.models.registry import ModelSpec, register
+from sr.nn.blocks import ConvBlock, DeconvBlock
+from sr.train.losses import mse_loss
+from sr.train.optim import adam
+
+
+class Net(nn.Module):
+    num_channels: int = 1
+    d: int = 56
+    s: int = 12
+    m: int = 4
+    scale_factor: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBlock(self.d, 5, act="prelu", dtype=self.dtype)(x, train)
+        x = ConvBlock(self.s, 1, act="prelu", dtype=self.dtype)(x, train)
+        for _ in range(self.m):
+            x = ConvBlock(self.s, 3, act="prelu", dtype=self.dtype)(x, train)
+        x = ConvBlock(self.d, 1, act="prelu", dtype=self.dtype)(x, train)
+        x = DeconvBlock(
+            self.num_channels, 9, self.scale_factor, act=None,
+            kernel_init="normal_001", dtype=self.dtype,
+        )(x, train)
+        return x
+
+
+def _make(cfg):
+    return Net(
+        num_channels=cfg.num_channels,
+        scale_factor=cfg.scale_factor,
+        dtype=jnp.dtype(cfg.dtype),
+    )
+
+
+def _loss(out, batch, ctx):
+    return mse_loss(out, batch["hr"]), {}
+
+
+SPEC = register(
+    ModelSpec(
+        name="FSRCNN",
+        make_model=_make,
+        loss=_loss,
+        make_tx=lambda cfg: adam(cfg.effective_lr),
+        pre_upsample=False,
+        default_channels=1,
+        default_lr=1e-3,
+    )
+)

@@ -1,0 +1,98 @@
+"""LapSRN — Lai et al., CVPR 2017. (reference: lapsrn.py:Net)
+
+Laplacian pyramid on the RAW LR input: log2(r) levels, each with
+  * a feature branch: D 3×3 convs (LeakyReLU 0.2) + ×2 transposed conv,
+  * a residual conv predicting the level's image residual,
+  * an image branch: ×2 transposed conv of the running image + residual.
+
+Deep supervision: Charbonnier loss at EVERY pyramid level against
+bicubic-downscaled ground truths (reference: lapsrn.py Charbonnier class).
+The model returns the tuple of level outputs in training.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sr.kernels.bicubic import resize2d
+from sr.models.registry import ModelSpec, register
+from sr.nn.blocks import ConvBlock, DeconvBlock
+from sr.train.losses import charbonnier_loss
+from sr.train.optim import adam
+
+
+class Net(nn.Module):
+    num_channels: int = 1
+    base_filter: int = 64
+    num_convs: int = 5  # feature convs per pyramid level (paper: d)
+    scale_factor: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        r = self.scale_factor
+        assert r & (r - 1) == 0 and r > 1, "LapSRN needs a power-of-2 scale"
+        levels = int(math.log2(r))
+        f = self.base_filter
+
+        feat = ConvBlock(f, 3, act="lrelu", kernel_init="kaiming",
+                         dtype=self.dtype)(x, train)
+        img = x
+        outs = []
+        for _ in range(levels):
+            # feature embedding branch
+            h = feat
+            for _ in range(self.num_convs):
+                h = ConvBlock(f, 3, act="lrelu", kernel_init="kaiming",
+                              dtype=self.dtype)(h, train)
+            feat = DeconvBlock(f, 4, 2, act="lrelu", kernel_init="kaiming",
+                               dtype=self.dtype)(h, train)
+            residual = ConvBlock(self.num_channels, 3, act=None,
+                                 kernel_init="kaiming", dtype=self.dtype)(feat, train)
+            # image reconstruction branch
+            img = DeconvBlock(self.num_channels, 4, 2, act=None,
+                              kernel_init="kaiming", dtype=self.dtype)(img, train)
+            img = img + residual
+            outs.append(img)
+        if train:
+            return tuple(outs)
+        return outs[-1]
+
+
+def _make(cfg):
+    return Net(
+        cfg.num_channels, cfg.base_filter, cfg.num_pyramid_convs,
+        cfg.scale_factor, jnp.dtype(cfg.dtype),
+    )
+
+
+def _loss(out, batch, ctx):
+    hr = batch["hr"]
+    total = 0.0
+    metrics = {}
+    n = len(out)
+    for lvl, pred in enumerate(out):
+        h, w = pred.shape[1], pred.shape[2]
+        target = hr if lvl == n - 1 else jnp.clip(
+            resize2d(hr, (h, w), clip=False), 0.0, 1.0
+        )
+        li = charbonnier_loss(pred, target)
+        metrics[f"loss_x{2 ** (lvl + 1)}"] = li
+        total = total + li
+    return total, metrics
+
+
+SPEC = register(
+    ModelSpec(
+        name="LapSRN",
+        make_model=_make,
+        loss=_loss,
+        make_tx=lambda cfg: adam(cfg.effective_lr),
+        pre_upsample=False,
+        default_channels=1,
+        default_lr=1e-4,
+    )
+)

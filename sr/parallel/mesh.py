@@ -1,0 +1,61 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-GPU with bare ``.cuda()`` calls and no collectives
+(SURVEY §2.3). Scale-out here is TPU-idiomatic: a ``jax.sharding.Mesh``
+over the chips, batches sharded over the ``data`` axis, parameters
+replicated, and XLA GSPMD inserting the gradient all-reduce over ICI —
+zero hand-written communication.
+
+Axes:
+  * ``data``    — batch (data parallel; gradients psum over ICI)
+  * ``spatial`` — image rows for tiled/sharded large-image inference
+    (the CNN analogue of sequence parallelism; XLA inserts conv halo
+    exchanges automatically when lowering spatially-sharded convs)
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: tuple[int, ...] = (),
+    axes: tuple[str, ...] = ("data",),
+    devices=None,
+) -> Mesh:
+    """Mesh over the available devices; defaults to 1-D data parallel."""
+    if devices is None:
+        devices = jax.devices()
+    if not shape:
+        shape = (len(devices),)
+        axes = axes[:1]
+    assert len(shape) == len(axes), (shape, axes)
+    dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
+    return Mesh(dev_array, axes)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-dim (batch) sharding for NHWC batches."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard H of an NHWC tensor over the 'spatial' axis (batch over 'data')."""
+    return NamedSharding(mesh, P("data", "spatial"))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a (dict of) host/device array(s) with batch-dim sharding."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

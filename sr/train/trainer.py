@@ -1,0 +1,185 @@
+"""ONE shared trainer for the whole zoo.
+
+The reference duplicates a ~200-line train/test/checkpoint loop in every
+model file (SURVEY §1 'no shared trainer'). Here a single
+:class:`Trainer` consumes a ``ModelSpec`` (sr/models/registry.py) and runs
+any non-GAN model: jitted mesh-aware train step (params replicated, batch
+sharded over the ``data`` axis, XLA GSPMD all-reduces grads over ICI),
+JSONL metrics, full-state checkpointing with resume, and periodic eval.
+
+GAN training (SRGAN) extends this in sr/train/gan.py.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sr.models.registry import ModelSpec, get_spec
+from sr.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from sr.train.state import SRTrainState
+from sr.utils.config import SRConfig
+
+
+def _apply(model, params, batch_stats, x, train: bool):
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+    if train and batch_stats is not None:
+        out, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+    out = model.apply(variables, x, train=train)
+    return out, batch_stats
+
+
+class Trainer:
+    """Shared train/eval driver for one ModelSpec."""
+
+    def __init__(
+        self,
+        cfg: SRConfig,
+        spec: ModelSpec | None = None,
+        mesh=None,
+        logger=None,
+    ):
+        self.cfg = cfg
+        self.spec = spec or get_spec(cfg.model_name)
+        self.model = self.spec.make_model(cfg)
+        self.tx = self.spec.make_tx(cfg)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        self.logger = logger
+        self._batch_sh = batch_sharding(self.mesh)
+        self._repl_sh = replicated_sharding(self.mesh)
+        self._step_fn = None
+        self._predict_fn = None
+        self._in_key = self.spec.input_key()
+
+    # -- state ------------------------------------------------------------
+
+    def init_state(self, rng: jax.Array, sample_input: jax.Array) -> SRTrainState:
+        params_rng, state_rng = jax.random.split(rng)
+        variables = jax.jit(self.model.init, static_argnames=("train",))(
+            params_rng, sample_input, train=False
+        )
+        state = SRTrainState.create(
+            apply_fn=self.model.apply,
+            params=variables["params"],
+            tx=self.tx,
+            batch_stats=variables.get("batch_stats"),
+            rng=state_rng,
+        )
+        return jax.device_put(state, self._repl_sh)
+
+    def num_params(self, state: SRTrainState) -> int:
+        return sum(int(p.size) for p in jax.tree.leaves(state.params))
+
+    # -- the jitted step ----------------------------------------------------
+
+    def _build_step(self) -> Callable:
+        spec, cfg, model = self.spec, self.cfg, self.model
+        in_key = self._in_key
+
+        def loss_fn(params, batch_stats, batch, step):
+            out, new_bs = _apply(model, params, batch_stats, batch[in_key], True)
+            ctx = spec.schedule(cfg, step)
+            loss, metrics = spec.loss(out, batch, ctx)
+            return loss, (metrics, new_bs)
+
+        batch_sh = self._batch_sh
+
+        def step_fn(state: SRTrainState, batch) -> tuple[SRTrainState, dict]:
+            # reshard wherever the batch comes from (pipeline output is
+            # single-device); GSPMD then all-reduces grads over ICI
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, batch_sh), batch
+            )
+            (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, state.batch_stats, batch, state.step)
+            new_state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+            metrics = {"loss": loss, **metrics}
+            return new_state, metrics
+
+        return jax.jit(
+            step_fn,
+            in_shardings=(self._repl_sh, None),
+            out_shardings=(self._repl_sh, self._repl_sh),
+            donate_argnums=(0,),
+        )
+
+    def train_step(self, state: SRTrainState, batch) -> tuple[SRTrainState, dict]:
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        return self._step_fn(state, batch)
+
+    # -- inference ----------------------------------------------------------
+
+    def predict(self, state: SRTrainState, x: jax.Array) -> jax.Array:
+        if self._predict_fn is None:
+            self._predict_fn = self.make_predict_fn()
+        return self._predict_fn(state.params, state.batch_stats, x)
+
+    def make_predict_fn(self) -> Callable:
+        """Jitted eval-mode forward: (params, batch_stats, x) → sr."""
+        model = self.model
+
+        @jax.jit
+        def fn(params, batch_stats, x):
+            out, _ = _apply(model, params, batch_stats, x, False)
+            return out
+
+        return fn
+
+    # -- the fit loop ---------------------------------------------------------
+
+    def fit(
+        self,
+        state: SRTrainState,
+        pipeline,
+        num_epochs: int | None = None,
+        steps_per_epoch: int | None = None,
+        checkpointer=None,
+        eval_hook: Callable[[SRTrainState, int], dict] | None = None,
+        log_cb: Callable[[dict], None] | None = None,
+    ) -> SRTrainState:
+        """Epoch loop: sample → step → log → checkpoint → eval.
+
+        ``pipeline`` is a callable key→batch (sr/data/pipeline.py). The
+        sampler and the train step are both device-side; the host only
+        splits PRNG keys and reads back scalar metrics at log points.
+        """
+        cfg = self.cfg
+        num_epochs = num_epochs or cfg.num_epochs
+        spe = steps_per_epoch or cfg.steps_per_epoch
+        rng = state.rng
+        t0 = time.time()
+        for epoch in range(int(state.step) // spe, num_epochs):
+            losses = []
+            for it in range(spe):
+                rng, sub = jax.random.split(rng)
+                batch = pipeline(sub)
+                state, metrics = self.train_step(state, batch)
+                if (it + 1) % cfg.log_every == 0 or it == spe - 1:
+                    losses.append(float(metrics["loss"]))
+                    if log_cb:
+                        log_cb(
+                            {
+                                "epoch": epoch,
+                                "step": int(state.step),
+                                "wall_s": round(time.time() - t0, 2),
+                                **{k: float(v) for k, v in metrics.items()},
+                            }
+                        )
+            avg = sum(losses) / max(len(losses), 1)
+            print(f"epoch {epoch + 1}/{num_epochs} avg_loss={avg:.6f}")
+            if checkpointer is not None and (
+                (epoch + 1) % cfg.save_epochs == 0 or epoch + 1 == num_epochs
+            ):
+                checkpointer.save(state)
+            if eval_hook is not None:
+                eval_hook(state, epoch)
+        return state.replace(rng=rng)

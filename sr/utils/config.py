@@ -1,0 +1,68 @@
+"""Configuration: one dataclass, reference-compatible flag names.
+
+The reference configures everything through a single argparse block
+(reference: main.py:parse_args — --model_name --num_channels --scale_factor
+--crop_size --num_epochs --save_epochs --batch_size --test_batch_size --lr
+--num_threads --data_dir --save_dir --train_dataset --test_dataset). The
+same names are kept here so reference users can switch without relearning
+flags; TPU-specific knobs (dtype, mesh) are additive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass
+class SRConfig:
+    # -- reference-compatible flags (main.py:parse_args) -----------------
+    model_name: str = "SRCNN"
+    num_channels: int = 1
+    scale_factor: int = 4
+    crop_size: int = 128
+    num_epochs: int = 100
+    save_epochs: int = 10
+    batch_size: int = 32
+    test_batch_size: int = 1
+    lr: float | None = None  # None → model default
+    data_dir: str = "./data"
+    save_dir: str = "./results"
+    train_dataset: str = "bsds300"
+    test_dataset: str = "Set5"
+    num_threads: int = 0  # kept for CLI parity; the pipeline is on-device
+
+    # -- model hyperparameters (per-model defaults applied by registry) --
+    base_filter: int = 64
+    num_resblocks: int = 16
+    num_recursions: int = 16  # DRCN
+    num_pyramid_convs: int = 5  # LapSRN feature convs per level
+    res_scale: float = 1.0  # EDSR residual scaling
+
+    # -- SRGAN ------------------------------------------------------------
+    pretrain_epochs: int = 10
+    vgg_loss_weight: float = 6e-3
+    adv_loss_weight: float = 1e-3
+    vgg_weights_path: str | None = None  # torchvision vgg19 state_dict (.pth)
+
+    # -- TPU / runtime ------------------------------------------------------
+    dtype: str = "bfloat16"  # compute dtype; params stay float32
+    steps_per_epoch: int = 200
+    seed: int = 42
+    mesh_shape: tuple = ()  # e.g. (8,) for 8-way data parallel; () = auto
+    mesh_axes: tuple = ("data",)
+    log_every: int = 50
+    keep_checkpoints: int = 3
+    resume: bool = True
+    use_pallas: bool = False  # route hot ops through Pallas kernels
+
+    def replace(self, **kw) -> "SRConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def effective_lr(self) -> float:
+        if self.lr is not None:
+            return self.lr
+        from sr.models.registry import get_spec
+
+        return get_spec(self.model_name).default_lr

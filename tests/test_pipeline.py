@@ -1,0 +1,88 @@
+"""On-device pipeline tests: shapes, determinism, degradation parity."""
+
+import jax
+import numpy as np
+import pytest
+
+from sr.data.datasets import SyntheticDataset
+from sr.data.pipeline import PatchPipeline, prefetch, stack_corpus
+from sr.kernels.bicubic import pil_resize_exact_u8
+
+
+def _images(n=4, size=(96, 96), c=3, seed=0):
+    ds = SyntheticDataset(num_images=n, size=size, channels=c, seed=seed)
+    return [ds[i] for i in range(n)]
+
+
+def test_stack_corpus_orientation_and_size():
+    imgs = [
+        np.zeros((100, 80, 3), np.uint8),   # portrait → rotated
+        np.zeros((80, 100, 3), np.uint8),
+        np.zeros((90, 120, 3), np.uint8),
+    ]
+    bank = stack_corpus(imgs, 3)
+    assert bank.shape == (3, 80, 100, 3)
+
+
+def test_batch_shapes_and_range():
+    pipe = PatchPipeline(_images(), crop_size=32, scale_factor=4, batch_size=8,
+                         channels=3, pre_upsample=True)
+    b = pipe(jax.random.key(0))
+    assert b["hr"].shape == (8, 32, 32, 3)
+    assert b["lr"].shape == (8, 8, 8, 3)
+    assert b["bc"].shape == (8, 32, 32, 3)
+    for v in b.values():
+        arr = np.asarray(v)
+        assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+
+def test_deterministic_per_key():
+    pipe = PatchPipeline(_images(), crop_size=32, scale_factor=2, batch_size=4,
+                         channels=3)
+    a = pipe(jax.random.key(7))
+    b = pipe(jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(a["hr"]), np.asarray(b["hr"]))
+    c = pipe(jax.random.key(8))
+    assert np.abs(np.asarray(a["hr"]) - np.asarray(c["hr"])).max() > 0
+
+
+def test_degradation_close_to_pil():
+    """Device LR ≈ Pillow-exact LR of the same HR patch (<1.5/255)."""
+    pipe = PatchPipeline(_images(), crop_size=32, scale_factor=4, batch_size=4,
+                         channels=3, augment=False, random_scale=False)
+    b = pipe(jax.random.key(0))
+    hr = np.asarray(b["hr"])
+    lr = np.asarray(b["lr"])
+    for i in range(hr.shape[0]):
+        hr_u8 = np.round(hr[i] * 255.0).astype(np.uint8)
+        lr_pil = pil_resize_exact_u8(hr_u8, (8, 8)).astype(np.float64) / 255.0
+        assert np.abs(lr[i] - lr_pil).max() < 1.5 / 255.0
+
+
+def test_no_random_scale_patches_match_bank():
+    """With augment off, HR patches are raw crops of the corpus."""
+    imgs = _images(2, size=(64, 64))
+    pipe = PatchPipeline(imgs, crop_size=16, scale_factor=4, batch_size=16,
+                         channels=3, augment=False, random_scale=False)
+    b = pipe(jax.random.key(3))
+    hr = np.round(np.asarray(b["hr"]) * 255.0).astype(np.uint8)
+    bank = stack_corpus(imgs, 3)
+    # every patch must appear somewhere in some bank image
+    for p in hr[:4]:
+        found = any(
+            np.array_equal(img[t : t + 16, l : l + 16], p)
+            for img in bank
+            for t in range(64 - 16 + 1)
+            for l in range(64 - 16 + 1)
+        )
+        assert found
+
+
+def test_prefetch_preserves_order():
+    assert list(prefetch(iter(range(10)), size=3)) == list(range(10))
+
+
+def test_crop_too_large_raises():
+    with pytest.raises(ValueError):
+        PatchPipeline(_images(size=(48, 48)), crop_size=48, scale_factor=4,
+                      batch_size=2, channels=3, random_scale=True)
