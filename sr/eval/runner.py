@@ -1,0 +1,153 @@
+"""Evaluation harness: the reference's ``model.test()`` conventions.
+
+Per test image (reference: each wrapper's ``test`` + dataset.py test
+branch, SURVEY §3.2):
+
+  1. modulo-crop the HR image to a multiple of the scale factor;
+  2. degrade to LR with BIT-EXACT Pillow bicubic
+     (sr/kernels/bicubic.py:pil_resize_exact_u8);
+  3. bicubic-upscale the LR back up (eval baseline + pre-upsample input);
+  4. run the model; de-normalize; report Y-channel PSNR after shaving
+     ``scale_factor`` border pixels — for BOTH the model output and the
+     bicubic baseline.
+
+1-channel models operate on Y of YCbCr; chroma is bicubic-upscaled and
+merged back for the rendered panels (reference behavior).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from sr.eval.metrics import modulo_crop, psnr, rgb_to_ycbcr
+from sr.kernels.bicubic import pil_resize_exact_u8
+
+
+@dataclass
+class ImageResult:
+    name: str
+    psnr_sr: float
+    psnr_bicubic: float
+    sr: np.ndarray | None = None  # uint8 HWC (render channels)
+    bicubic: np.ndarray | None = None
+    hr: np.ndarray | None = None
+
+
+@dataclass
+class EvalResult:
+    dataset: str
+    scale_factor: int
+    images: list[ImageResult] = field(default_factory=list)
+
+    @property
+    def avg_psnr_sr(self) -> float:
+        return float(np.mean([r.psnr_sr for r in self.images]))
+
+    @property
+    def avg_psnr_bicubic(self) -> float:
+        return float(np.mean([r.psnr_bicubic for r in self.images]))
+
+    def summary(self) -> dict:
+        return {
+            "dataset": self.dataset,
+            "scale_factor": self.scale_factor,
+            "num_images": len(self.images),
+            "psnr_sr": round(self.avg_psnr_sr, 4),
+            "psnr_bicubic": round(self.avg_psnr_bicubic, 4),
+        }
+
+
+def _to_y(img_u8: np.ndarray) -> np.ndarray:
+    """(H,W,C) uint8 → Y-channel float64 (H,W). C==1 → that channel;
+    C==3 → images are YCbCr if loaded via decode.load_img('ycbcr'); for
+    RGB-model outputs we convert RGB→Y."""
+    if img_u8.shape[-1] == 1:
+        return img_u8[..., 0].astype(np.float64)
+    raise AssertionError("use _rgb_to_y / ycc explicitly for 3-channel")
+
+
+def _rgb_to_y(rgb_u8: np.ndarray) -> np.ndarray:
+    return np.asarray(rgb_to_ycbcr(rgb_u8.astype(np.float32)))[..., 0].astype(
+        np.float64
+    )
+
+
+def evaluate(
+    predict_fn,
+    dataset,
+    scale_factor: int,
+    channels: int = 1,
+    pre_upsample: bool = False,
+    dataset_name: str = "",
+    shave_border: int | None = None,
+    keep_images: bool = False,
+    color_space: str = "ycbcr",
+) -> EvalResult:
+    """Run the harness over a FolderDataset/SyntheticDataset.
+
+    ``predict_fn(x)`` maps a (1,h,w,channels) float32 [0,1] batch to the
+    SR output batch. ``color_space`` describes how dataset images are
+    encoded ('ycbcr' per the reference loader, or 'rgb' — synthetic).
+    """
+    r = scale_factor
+    border = r if shave_border is None else shave_border
+    res = EvalResult(dataset_name or getattr(dataset, "name", "test"), r)
+
+    names = dataset.names
+    for i in range(len(dataset)):
+        img = dataset[i]
+        if img.ndim == 2:
+            img = img[:, :, None]
+        hr = modulo_crop(img, r)
+        h, w = hr.shape[:2]
+        lr = pil_resize_exact_u8(hr, (h // r, w // r))
+        bc = pil_resize_exact_u8(lr, (h, w))
+
+        if channels == 1:
+            model_in = (bc if pre_upsample else lr)[..., :1]
+        else:
+            model_in = bc if pre_upsample else lr
+            if model_in.shape[-1] == 1:
+                model_in = np.repeat(model_in, 3, axis=2)
+        x = model_in.astype(np.float32)[None] / 255.0
+        sr = np.asarray(predict_fn(x))[0]
+        sr_u8 = np.clip(np.round(sr * 255.0), 0, 255).astype(np.uint8)
+
+        # --- PSNR on Y (the reference's parity metric) ----------------
+        if channels == 1:
+            # dataset is YCbCr (or single-channel): channel 0 is Y
+            y_hr, y_bc, y_sr = (
+                hr[..., 0].astype(np.float64),
+                bc[..., 0].astype(np.float64),
+                sr_u8[..., 0].astype(np.float64),
+            )
+        else:
+            if color_space == "rgb":
+                y_hr, y_bc, y_sr = map(_rgb_to_y, (hr, bc, sr_u8))
+            else:  # ycbcr-encoded dataset, 3-channel model sees YCbCr
+                y_hr, y_bc, y_sr = (
+                    hr[..., 0].astype(np.float64),
+                    bc[..., 0].astype(np.float64),
+                    sr_u8[..., 0].astype(np.float64),
+                )
+        p_sr = psnr(y_sr, y_hr, border=border)
+        p_bc = psnr(y_bc, y_hr, border=border)
+
+        rendered = None
+        if keep_images:
+            if channels == 1 and hr.shape[-1] == 3:
+                # merge SR Y with bicubic chroma (reference render path)
+                rendered = np.concatenate([sr_u8[..., :1], bc[..., 1:]], axis=-1)
+            else:
+                rendered = sr_u8
+        res.images.append(
+            ImageResult(
+                names[i], p_sr, p_bc,
+                sr=rendered,
+                bicubic=bc if keep_images else None,
+                hr=hr if keep_images else None,
+            )
+        )
+    return res

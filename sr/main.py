@@ -1,0 +1,218 @@
+"""CLI driver: ``python -m sr.main --model_name SRCNN ...``
+
+Flag-compatible with the reference (reference: main.py:parse_args /
+check_args / main — same spelling for --model_name --num_channels
+--scale_factor --crop_size --num_epochs --save_epochs --batch_size
+--test_batch_size --lr --data_dir --save_dir --train_dataset
+--test_dataset --num_threads), plus TPU-era additions (--dtype,
+--steps_per_epoch, --mesh, --no_resume, --eval_only).
+
+Flow mirrors the reference: build config → train (with resumable
+checkpoints, JSONL + optional TB logging) → test (PSNR harness + panels).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import jax
+import numpy as np
+
+from sr.data.datasets import get_test_set, get_training_set
+from sr.data.pipeline import PatchPipeline
+from sr.eval.panels import plot_loss, plot_test_result, save_img
+from sr.eval.runner import evaluate
+from sr.models.registry import available_models, get_spec
+from sr.utils.checkpoint import Checkpointer, save_params
+from sr.utils.config import SRConfig
+from sr.utils.logging import JSONLLogger, TensorBoardLogger
+
+
+def parse_args(argv=None) -> SRConfig:
+    d = SRConfig()
+    p = argparse.ArgumentParser(description="TPU-native super-resolution")
+    p.add_argument("--model_name", default=d.model_name,
+                   help=f"one of {available_models()}")
+    p.add_argument("--num_channels", type=int, default=None,
+                   help="1 (Y of YCbCr) or 3 (RGB); default per model")
+    p.add_argument("--scale_factor", type=int, default=d.scale_factor)
+    p.add_argument("--crop_size", type=int, default=d.crop_size)
+    p.add_argument("--num_epochs", type=int, default=d.num_epochs)
+    p.add_argument("--save_epochs", type=int, default=d.save_epochs)
+    p.add_argument("--batch_size", type=int, default=d.batch_size)
+    p.add_argument("--test_batch_size", type=int, default=d.test_batch_size)
+    p.add_argument("--lr", type=float, default=None, help="default per model")
+    p.add_argument("--data_dir", default=d.data_dir)
+    p.add_argument("--save_dir", default=d.save_dir)
+    p.add_argument("--train_dataset", default=d.train_dataset)
+    p.add_argument("--test_dataset", default=d.test_dataset)
+    p.add_argument("--num_threads", type=int, default=d.num_threads)
+    # TPU-era flags
+    p.add_argument("--dtype", default=d.dtype, choices=["float32", "bfloat16"])
+    p.add_argument("--steps_per_epoch", type=int, default=d.steps_per_epoch)
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--mesh", type=int, nargs="*", default=None,
+                   help="mesh shape, e.g. --mesh 8 for 8-way data parallel")
+    p.add_argument("--no_resume", action="store_true")
+    p.add_argument("--eval_only", action="store_true")
+    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--vgg_weights_path", default=None)
+    p.add_argument("--pretrain_epochs", type=int, default=d.pretrain_epochs)
+    a = p.parse_args(argv)
+
+    spec = get_spec(a.model_name)
+    cfg = SRConfig(
+        model_name=a.model_name,
+        num_channels=(a.num_channels if a.num_channels is not None
+                      else spec.default_channels),
+        scale_factor=a.scale_factor, crop_size=a.crop_size,
+        num_epochs=a.num_epochs, save_epochs=a.save_epochs,
+        batch_size=a.batch_size, test_batch_size=a.test_batch_size,
+        lr=a.lr, data_dir=a.data_dir, save_dir=a.save_dir,
+        train_dataset=a.train_dataset, test_dataset=a.test_dataset,
+        num_threads=a.num_threads, dtype=a.dtype,
+        steps_per_epoch=a.steps_per_epoch, seed=a.seed,
+        mesh_shape=tuple(a.mesh) if a.mesh else (),
+        resume=not a.no_resume, use_pallas=a.use_pallas,
+        vgg_weights_path=a.vgg_weights_path,
+        pretrain_epochs=a.pretrain_epochs,
+    )
+    return check_args(cfg), a.eval_only
+
+
+def check_args(cfg: SRConfig) -> SRConfig:
+    """Validate + create save dirs. (reference: main.py:check_args)"""
+    if cfg.crop_size % cfg.scale_factor:
+        raise SystemExit("--crop_size must be divisible by --scale_factor")
+    if cfg.num_epochs < 1 or cfg.batch_size < 1:
+        raise SystemExit("--num_epochs and --batch_size must be ≥1")
+    run_dir = os.path.join(cfg.save_dir, f"{cfg.model_name}_x{cfg.scale_factor}")
+    os.makedirs(run_dir, exist_ok=True)
+    return cfg
+
+
+def _run_dir(cfg: SRConfig) -> str:
+    return os.path.join(cfg.save_dir, f"{cfg.model_name}_x{cfg.scale_factor}")
+
+
+def build_pipeline(cfg: SRConfig, spec) -> PatchPipeline:
+    color = "rgb" if cfg.num_channels == 3 else "ycbcr"
+    train_set = get_training_set(cfg.data_dir, cfg.train_dataset, color)
+    images = [train_set[i] for i in range(len(train_set))]
+    min_dim = min(min(im.shape[0], im.shape[1]) for im in images)
+    crop = cfg.crop_size
+    random_scale = True
+    if crop * 2 > min_dim:
+        random_scale = False  # corpus too small for the 0.5× branch
+    if crop > min_dim:
+        crop = (min_dim // cfg.scale_factor) * cfg.scale_factor
+        print(f"[warn] crop_size reduced to {crop} for a {min_dim}px corpus")
+    return PatchPipeline(
+        images, crop_size=crop, scale_factor=cfg.scale_factor,
+        batch_size=cfg.batch_size, channels=cfg.num_channels,
+        pre_upsample=spec.pre_upsample, random_scale=random_scale,
+        dtype=np.dtype("float32"),
+    )
+
+
+def run_eval(cfg: SRConfig, spec, predict_fn, out_dir: str, log=print) -> dict:
+    color = "rgb" if cfg.num_channels == 3 else "ycbcr"
+    test_set = get_test_set(cfg.data_dir, cfg.test_dataset, color)
+    res = evaluate(
+        predict_fn, test_set, cfg.scale_factor, channels=cfg.num_channels,
+        pre_upsample=spec.pre_upsample, dataset_name=cfg.test_dataset,
+        keep_images=True,
+        color_space="rgb" if cfg.test_dataset.lower() == "synthetic" else color,
+    )
+    for r in res.images:
+        cs = "rgb" if cfg.test_dataset.lower() == "synthetic" else color
+        save_img(r.sr, os.path.join(out_dir, "images", f"{r.name}_sr.png"), cs)
+        plot_test_result(
+            r.bicubic, r.sr, r.hr,
+            os.path.join(out_dir, "panels", f"{r.name}.png"),
+            psnr_bicubic=r.psnr_bicubic, psnr_sr=r.psnr_sr, color_space=cs,
+        )
+    s = res.summary()
+    log(f"[eval] {cfg.test_dataset} x{cfg.scale_factor}: "
+        f"SR {s['psnr_sr']:.2f} dB vs bicubic {s['psnr_bicubic']:.2f} dB")
+    return s
+
+
+def main(argv=None) -> int:
+    cfg, eval_only = parse_args(argv)
+    spec = get_spec(cfg.model_name)
+    run_dir = _run_dir(cfg)
+    jsonl = JSONLLogger(os.path.join(run_dir, "metrics.jsonl"))
+    tb = TensorBoardLogger(os.path.join(run_dir, "logs"))
+    print(f"model={cfg.model_name} scale=x{cfg.scale_factor} "
+          f"devices={jax.device_count()} dtype={cfg.dtype}")
+
+    ck = Checkpointer(os.path.join(run_dir, "ckpt"), keep=cfg.keep_checkpoints)
+
+    if spec.is_gan:
+        from sr.train.gan import GANTrainer
+
+        tr = GANTrainer(cfg)
+        pipe = build_pipeline(cfg, spec)
+        rng = jax.random.key(cfg.seed)
+        b0 = pipe(rng)
+        g_state, d_state = tr.init_states(rng, b0["lr"][:1], b0["hr"][:1])
+        if cfg.resume:
+            restored = ck.restore(g_state)
+            if restored is not None:
+                g_state = restored
+                print(f"[resume] generator step {int(g_state.step)}")
+        predict = lambda x: tr.predict(g_state, x)  # noqa: E731
+        if not eval_only:
+            g_state, d_state = tr.fit(
+                g_state, d_state, pipe, checkpointer=ck, log_cb=jsonl,
+            )
+            predict = lambda x: tr.predict(g_state, x)  # noqa: E731
+            save_params(os.path.join(run_dir, f"{cfg.model_name}_params.npz"),
+                        g_state.params, g_state.batch_stats)
+    else:
+        from sr.train.trainer import Trainer
+
+        tr = Trainer(cfg)
+        pipe = build_pipeline(cfg, spec)
+        rng = jax.random.key(cfg.seed)
+        b0 = pipe(rng)
+        state = tr.init_state(rng, b0[spec.input_key()][:1])
+        print(f"params: {tr.num_params(state):,}")
+        if cfg.resume:
+            restored = ck.restore(state)
+            if restored is not None:
+                state = restored
+                print(f"[resume] step {int(state.step)}")
+        predict_jit = tr.make_predict_fn()
+        predict = lambda x: predict_jit(state.params, state.batch_stats, x)  # noqa: E731
+        if not eval_only:
+            epoch_losses = []
+
+            def log_cb(rec):
+                jsonl(rec)
+                if tb.active:
+                    tb.scalar("loss", rec["loss"], rec["step"])
+                if "loss" in rec:
+                    epoch_losses.append(rec["loss"])
+
+            state = tr.fit(state, pipe, checkpointer=ck, log_cb=log_cb)
+            predict = lambda x: predict_jit(state.params, state.batch_stats, x)  # noqa: E731
+            if epoch_losses:
+                plot_loss(epoch_losses, os.path.join(run_dir, "loss.png"),
+                          title=f"{cfg.model_name} x{cfg.scale_factor}")
+            save_params(os.path.join(run_dir, f"{cfg.model_name}_params.npz"),
+                        state.params, state.batch_stats)
+
+    summary = run_eval(cfg, spec, predict, run_dir, log=print)
+    jsonl({"event": "eval", **summary})
+    jsonl.close()
+    ck.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

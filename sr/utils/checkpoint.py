@@ -1,0 +1,113 @@
+"""Full train-state checkpointing with resume (Orbax-backed).
+
+The reference checkpoints params only (``torch.save(state_dict)``) and
+cannot resume training — no optimizer state, no step counter
+(reference: each wrapper's save_model/load_model; SURVEY §3.5). Here the
+FULL state (params + optimizer + batch stats + step + PRNG key) is saved
+atomically with keep-last-k retention, plus a params-only export for eval.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from sr.train.state import SRTrainState
+
+
+def _state_to_tree(state: SRTrainState) -> dict:
+    tree = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    if state.batch_stats is not None:
+        tree["batch_stats"] = state.batch_stats
+    if state.rng is not None:
+        # typed PRNG keys are not serializable; store raw key data
+        tree["rng_data"] = jax.random.key_data(state.rng)
+    return tree
+
+
+def _tree_to_state(tree: dict, like: SRTrainState) -> SRTrainState:
+    rng = like.rng
+    if "rng_data" in tree and like.rng is not None:
+        rng = jax.random.wrap_key_data(jnp.asarray(tree["rng_data"]))
+    return like.replace(
+        params=tree["params"],
+        opt_state=tree["opt_state"],
+        step=jnp.asarray(tree["step"]),
+        batch_stats=tree.get("batch_stats", like.batch_stats),
+        rng=rng,
+    )
+
+
+class Checkpointer:
+    """keep-last-k full-state checkpoints under ``directory``."""
+
+    def __init__(self, directory: str, keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep),
+        )
+
+    def save(self, state: SRTrainState, wait: bool = False) -> int:
+        step = int(state.step)
+        self._mgr.save(step, args=ocp.args.StandardSave(_state_to_tree(state)))
+        if wait:
+            self._mgr.wait_until_finished()
+        return step
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, like: SRTrainState, step: int | None = None) -> SRTrainState | None:
+        """Restore into the structure of ``like``; None if no checkpoint."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None
+        target = jax.tree.map(np.asarray, _state_to_tree(like))
+        tree = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        return _tree_to_state(tree, like)
+
+    def close(self):
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+
+def save_params(path: str, params: Any, batch_stats: Any = None) -> None:
+    """Params-only export (the eval-time artifact, like the reference's
+    ``<Model>_param.pkl``), as a flattened .npz."""
+    from flax.traverse_util import flatten_dict
+
+    flat = {
+        "/".join(k): np.asarray(v)
+        for k, v in flatten_dict({"params": params}).items()
+    }
+    if batch_stats is not None:
+        flat.update(
+            {
+                "/".join(k): np.asarray(v)
+                for k, v in flatten_dict({"batch_stats": batch_stats}).items()
+            }
+        )
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def load_params(path: str) -> tuple[dict, dict | None]:
+    """Inverse of :func:`save_params` → (params, batch_stats|None)."""
+    from flax.traverse_util import unflatten_dict
+
+    with np.load(path) as z:
+        flat = {tuple(k.split("/")): z[k] for k in z.files}
+    tree = unflatten_dict(flat)
+    return tree.get("params", {}), tree.get("batch_stats")

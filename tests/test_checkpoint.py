@@ -1,0 +1,87 @@
+"""Checkpoint round-trip: full state equality + resume (SURVEY §4.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sr.data.datasets import SyntheticDataset
+from sr.data.pipeline import PatchPipeline
+from sr.models.registry import get_spec
+from sr.train.trainer import Trainer
+from sr.utils.checkpoint import Checkpointer, load_params, save_params
+from sr.utils.config import SRConfig
+
+
+@pytest.fixture
+def setup(tmp_path):
+    cfg = SRConfig(model_name="ESPCN", scale_factor=2, crop_size=16,
+                   batch_size=8, num_channels=1, dtype="float32",
+                   steps_per_epoch=2)
+    ds = SyntheticDataset(num_images=2, size=(32, 32), channels=1)
+    pipe = PatchPipeline([ds[i] for i in range(2)], crop_size=16,
+                         scale_factor=2, batch_size=8, channels=1,
+                         augment=False, random_scale=False)
+    tr = Trainer(cfg)
+    batch = pipe(jax.random.key(0))
+    state = tr.init_state(jax.random.key(1), batch["lr"][:1])
+    return tr, state, batch, tmp_path
+
+
+def _trees_equal(a, b):
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_full_state_roundtrip(setup):
+    tr, state, batch, tmp = setup
+    for _ in range(3):
+        state, _ = tr.train_step(state, batch)
+    ck = Checkpointer(str(tmp / "ckpt"), keep=2)
+    ck.save(state, wait=True)
+    restored = ck.restore(tr.init_state(jax.random.key(1), batch["lr"][:1]))
+    assert restored is not None
+    assert int(restored.step) == 3
+    _trees_equal(restored.params, state.params)
+    _trees_equal(restored.opt_state, state.opt_state)
+    # training continues identically from the restored state
+    s1, m1 = tr.train_step(state, batch)
+    s2, m2 = tr.train_step(restored, batch)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), abs=1e-7)
+    ck.close()
+
+
+def test_restore_none_when_empty(setup):
+    tr, state, batch, tmp = setup
+    ck = Checkpointer(str(tmp / "empty"))
+    assert ck.restore(state) is None
+    ck.close()
+
+
+def test_keep_last_k(setup):
+    tr, state, batch, tmp = setup
+    ck = Checkpointer(str(tmp / "k"), keep=2)
+    for _ in range(3):
+        state, _ = tr.train_step(state, batch)
+        ck.save(state, wait=True)
+    assert ck.latest_step() == 3
+    # restoring an evicted step fails → only last 2 kept
+    assert ck.restore(state, step=3) is not None
+    ck.close()
+
+
+def test_params_only_export(setup, tmp_path):
+    tr, state, batch, tmp = setup
+    path = str(tmp_path / "params.npz")
+    save_params(path, state.params)
+    params, bs = load_params(path)
+    assert bs is None
+    _trees_equal(params, state.params)
+    # loaded params drive the model identically
+    out1 = np.asarray(tr.predict(state, batch["lr"][:2]))
+    out2 = np.asarray(
+        tr.model.apply({"params": params}, batch["lr"][:2], train=False)
+    )
+    np.testing.assert_allclose(out1, out2, atol=1e-6)

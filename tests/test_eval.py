@@ -1,0 +1,76 @@
+"""Eval harness tests: reference conventions end-to-end (SURVEY §4.5)."""
+
+import json
+import os
+
+import numpy as np
+
+from sr.data.datasets import SyntheticDataset
+from sr.eval.panels import plot_loss, plot_test_result, save_img
+from sr.eval.runner import evaluate
+from sr.kernels.bicubic import pil_resize_exact_u8
+from sr.utils.logging import JSONLLogger
+
+
+def test_identity_predictor_equals_bicubic_baseline():
+    """A model that returns its (pre-upsampled) input must score exactly
+    the bicubic baseline PSNR."""
+    ds = SyntheticDataset(num_images=3, size=(64, 64), channels=1)
+    res = evaluate(
+        lambda x: x, ds, scale_factor=4, channels=1, pre_upsample=True,
+        dataset_name="synthetic",
+    )
+    assert len(res.images) == 3
+    for r in res.images:
+        assert r.psnr_sr == r.psnr_bicubic
+    assert res.summary()["psnr_sr"] == res.summary()["psnr_bicubic"]
+
+
+def test_modulo_crop_applied():
+    """Odd-sized images are cropped to a multiple of the scale factor."""
+    ds = SyntheticDataset(num_images=1, size=(67, 61), channels=1)
+    res = evaluate(lambda x: x, ds, scale_factor=4, channels=1,
+                   pre_upsample=True, keep_images=True)
+    hr = res.images[0].hr
+    assert hr.shape[0] % 4 == 0 and hr.shape[1] % 4 == 0
+
+
+def test_eval_uses_exact_pil_degradation():
+    """The LR fed to the model is the Pillow-exact degradation."""
+    ds = SyntheticDataset(num_images=1, size=(32, 32), channels=1)
+    captured = {}
+
+    def probe(x):
+        captured["in"] = np.asarray(x)
+        return x.repeat(4, axis=1).repeat(4, axis=2)
+
+    evaluate(probe, ds, scale_factor=4, channels=1, pre_upsample=False)
+    lr_exact = pil_resize_exact_u8(ds[0], (8, 8)).astype(np.float32) / 255.0
+    np.testing.assert_allclose(captured["in"][0], lr_exact, atol=1e-7)
+
+
+def test_keep_images_merges_chroma():
+    ds = SyntheticDataset(num_images=1, size=(32, 32), channels=3)
+    res = evaluate(lambda x: x, ds, scale_factor=2, channels=1,
+                   pre_upsample=True, keep_images=True)
+    r = res.images[0]
+    assert r.sr.shape[-1] == 3  # Y from model + bicubic chroma
+    np.testing.assert_array_equal(r.sr[..., 1:], r.bicubic[..., 1:])
+
+
+def test_panels_and_logging(tmp_path):
+    ds = SyntheticDataset(num_images=1, size=(32, 32), channels=3)
+    hr = ds[0]
+    plot_loss([1.0, 0.5, 0.3], str(tmp_path / "loss.png"))
+    plot_test_result(hr, hr, hr, str(tmp_path / "panel.png"),
+                     psnr_bicubic=28.0, psnr_sr=30.0, color_space="rgb")
+    save_img(hr, str(tmp_path / "img.png"), color_space="rgb")
+    for f in ["loss.png", "panel.png", "img.png"]:
+        assert os.path.getsize(tmp_path / f) > 0
+
+    log = JSONLLogger(str(tmp_path / "m.jsonl"))
+    log({"loss": np.float32(0.5), "step": 1})
+    log({"loss": 0.25, "step": 2})
+    log.close()
+    lines = [json.loads(l) for l in open(tmp_path / "m.jsonl")]
+    assert lines[0]["loss"] == 0.5 and lines[1]["step"] == 2
