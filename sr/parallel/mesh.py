@@ -33,7 +33,9 @@ def make_mesh(
         shape = (len(devices),)
         axes = axes[:1]
     assert len(shape) == len(axes), (shape, axes)
-    dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
+    n = int(np.prod(shape))
+    assert n <= len(devices), f"mesh {shape} needs {n} devices, have {len(devices)}"
+    dev_array = mesh_utils.create_device_mesh(shape, devices=devices[:n])
     return Mesh(dev_array, axes)
 
 

@@ -1,0 +1,49 @@
+"""Optimizer-recipe unit tests: schedules + VDSR adjustable clipping."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sr.train.optim import (
+    adjustable_grad_clip,
+    step_decay_schedule,
+    vdsr_sgd,
+)
+
+
+def test_step_decay_schedule():
+    s = step_decay_schedule(0.1, steps_per_epoch=10, decay_epochs=20, factor=0.1)
+    assert float(s(0)) == np.float32(0.1)
+    assert float(s(199)) == np.float32(0.1)
+    assert abs(float(s(200)) - 0.01) < 1e-9
+    assert abs(float(s(400)) - 0.001) < 1e-9
+
+
+def test_step_decay_disabled():
+    s = step_decay_schedule(0.5, 10, 0, 0.1)
+    assert float(s(1000)) == 0.5
+
+
+def test_adjustable_clip_limits_follow_lr():
+    sched = step_decay_schedule(0.1, 1, 2, 0.1)  # decays every 2 steps
+    tx = adjustable_grad_clip(theta=0.4, lr_schedule=sched)
+    params = {"w": jnp.zeros(3)}
+    state = tx.init(params)
+    big = {"w": jnp.array([100.0, -100.0, 1.0])}
+    # step 0: lr=0.1 → limit 4
+    u, state = tx.update(big, state)
+    np.testing.assert_allclose(np.asarray(u["w"]), [4.0, -4.0, 1.0])
+    u, state = tx.update(big, state)
+    # step 2: lr=0.01 → limit 40
+    u, state = tx.update(big, state)
+    np.testing.assert_allclose(np.asarray(u["w"]), [40.0, -40.0, 1.0])
+
+
+def test_vdsr_chain_runs():
+    tx = vdsr_sgd(0.1, steps_per_epoch=2)
+    params = {"w": jnp.ones(4)}
+    state = tx.init(params)
+    grads = {"w": jnp.full(4, 0.5)}
+    updates, state = tx.update(grads, state, params)
+    assert updates["w"].shape == (4,)
+    # sgd descent direction (updates are negative for positive grads)
+    assert float(updates["w"][0]) < 0
