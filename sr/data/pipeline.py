@@ -90,6 +90,11 @@ class PatchPipeline:
     augment: bool = True
     random_scale: bool = True
     pre_upsample: bool = False
+    # multi-scale training (VDSR/DRCN are multi-scale-capable —
+    # reference: vdsr.py trains one net for ×2/×3/×4): each sample draws
+    # its scale from this tuple; requires pre_upsample (the model input
+    # 'bc' keeps a static shape across scales). Empty = single scale.
+    scale_factors: tuple = ()
     dtype: jnp.dtype = jnp.float32
     _bank: jax.Array = field(init=False, repr=False)
     _sample: callable = field(init=False, repr=False)
@@ -109,6 +114,15 @@ class PatchPipeline:
             )
         if self.crop_size % self.scale_factor:
             raise ValueError("crop_size must divide by scale_factor")
+        if self.scale_factors:
+            if not self.pre_upsample:
+                raise ValueError(
+                    "multi-scale batches need pre_upsample=True (only the "
+                    "bicubic-upscaled input has a static shape across scales)"
+                )
+            for r in self.scale_factors:
+                if self.crop_size % r:
+                    raise ValueError(f"crop_size must divide by scale {r}")
         self._bank = jax.device_put(bank)
         self._sample = jax.jit(self._make_sampler(n, h, w))
 
@@ -156,6 +170,20 @@ class PatchPipeline:
                 hr = jax.lax.cond(
                     jax.random.bernoulli(ks[4]), lambda x: x[:, ::-1], lambda x: x, hr
                 )
+            if self.scale_factors:
+                # per-sample scale draw; only bc (static shape) is exposed
+                def degrade(r):
+                    def fn(h):
+                        lr_r = resize2d(h, (crop // r, crop // r))
+                        return resize2d(lr_r, (crop, crop))
+
+                    return fn
+
+                r_idx = jax.random.randint(ks[5], (), 0, len(self.scale_factors))
+                bc = jax.lax.switch(
+                    r_idx, [degrade(r) for r in self.scale_factors], hr
+                )
+                return {"hr": hr, "bc": bc}
             lr = resize2d(hr, (lr_size, lr_size))
             out = {"hr": hr, "lr": lr}
             if self.pre_upsample:
