@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from sr.eval.metrics import modulo_crop, psnr, rgb_to_ycbcr
-from sr.kernels.bicubic import pil_resize_exact_u8
+from sr.data.native import resize_bicubic_u8  # native when built, numpy fallback
 
 
 @dataclass
@@ -102,8 +102,8 @@ def evaluate(
             img = img[:, :, None]
         hr = modulo_crop(img, r)
         h, w = hr.shape[:2]
-        lr = pil_resize_exact_u8(hr, (h // r, w // r))
-        bc = pil_resize_exact_u8(lr, (h, w))
+        lr = resize_bicubic_u8(hr, (h // r, w // r))
+        bc = resize_bicubic_u8(lr, (h, w))
 
         if channels == 1:
             model_in = (bc if pre_upsample else lr)[..., :1]

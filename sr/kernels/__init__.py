@@ -1,4 +1,5 @@
 from sr.kernels.bicubic import (  # noqa: F401
+    img_interp,
     resize2d,
     resize2d_unit,
     resize_matrix,

@@ -171,6 +171,18 @@ def resize2d_unit(
     return jnp.clip(y, 0.0, 1.0)
 
 
+def img_interp(x: jax.Array, scale_factor: int, filter: str = "bicubic") -> jax.Array:
+    """Bicubic-upscale a batch/image by ``scale_factor``.
+
+    (reference: utils.py:img_interp — the pre-upsampling step feeding
+    SRCNN/VDSR/DRCN, which upstream ran on CPU through PIL inside the hot
+    loop; here it's two device matmuls.) Accepts (H,W), (H,W,C) or NHWC,
+    values in [0,1].
+    """
+    h, w = (x.shape[-3], x.shape[-2]) if x.ndim >= 3 else x.shape
+    return resize2d_unit(x, (h * scale_factor, w * scale_factor), filter)
+
+
 # ---------------------------------------------------------------------------
 # Host-side bit-exact Pillow path (uint8 fixed-point, numpy)
 # ---------------------------------------------------------------------------

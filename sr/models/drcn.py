@@ -84,12 +84,22 @@ def _schedule(cfg, step):
     return {"alpha": jnp.clip(1.0 - step / total, 0.0, 1.0)}
 
 
+def _make_tx(cfg):
+    # DRCN's loss carries an L2 weight-decay term β≈1e-4 (Kim et al.
+    # CVPR'16 §4.1; reference: drcn.py loss); expressed as decoupled decay
+    import optax
+
+    return optax.chain(
+        optax.add_decayed_weights(1e-4), adam(cfg.effective_lr)
+    )
+
+
 SPEC = register(
     ModelSpec(
         name="DRCN",
         make_model=_make,
         loss=_loss,
-        make_tx=lambda cfg: adam(cfg.effective_lr),
+        make_tx=_make_tx,
         schedule=_schedule,
         pre_upsample=True,
         default_channels=1,

@@ -50,12 +50,29 @@ def _loss(out, batch, ctx):
     return mse_loss(out, batch["hr"]), {}
 
 
+def _make_tx(cfg):
+    # the deconv tail trains at 0.1× the base LR (Dong et al. ECCV'16
+    # §4.2; reference: fsrcnn.py optimizer param groups)
+    import optax
+
+    def label(params):
+        return {
+            k: ("deconv" if "DeconvBlock" in k else "base")
+            for k in params
+        }
+
+    base = cfg.effective_lr
+    return optax.multi_transform(
+        {"base": adam(base), "deconv": adam(base * 0.1)}, label
+    )
+
+
 SPEC = register(
     ModelSpec(
         name="FSRCNN",
         make_model=_make,
         loss=_loss,
-        make_tx=lambda cfg: adam(cfg.effective_lr),
+        make_tx=_make_tx,
         pre_upsample=False,
         default_channels=1,
         default_lr=1e-3,
