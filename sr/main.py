@@ -141,6 +141,28 @@ def run_eval(cfg: SRConfig, spec, predict_fn, out_dir: str, log=print) -> dict:
     return s
 
 
+def _make_sample_hook(cfg: SRConfig, run_dir: str, predict, batch):
+    """Per-epoch sample render (reference: each wrapper's train loop saves
+    a test-image reconstruction every epoch)."""
+    import jax.numpy as jnp
+
+    spec = get_spec(cfg.model_name)
+    x = batch[spec.input_key()][:1]
+
+    def hook(state, epoch):
+        if (epoch + 1) % cfg.save_epochs:
+            return
+        sr = np.asarray(predict(state, x), np.float32)[0]
+        img = np.clip(np.round(sr * 255.0), 0, 255).astype(np.uint8)
+        cs = "rgb" if cfg.num_channels == 3 else "ycbcr"
+        if img.shape[-1] == 1:
+            cs = "rgb"
+            img = np.repeat(img, 3, axis=-1)
+        save_img(img, os.path.join(run_dir, "samples", f"epoch_{epoch + 1:04d}.png"), cs)
+
+    return hook
+
+
 def main(argv=None) -> int:
     cfg, eval_only = parse_args(argv)
     spec = get_spec(cfg.model_name)
@@ -160,15 +182,24 @@ def main(argv=None) -> int:
         rng = jax.random.key(cfg.seed)
         b0 = pipe(rng)
         g_state, d_state = tr.init_states(rng, b0["lr"][:1], b0["hr"][:1])
+        ck_d = Checkpointer(os.path.join(run_dir, "ckpt_d"),
+                            keep=cfg.keep_checkpoints)
         if cfg.resume:
             restored = ck.restore(g_state)
             if restored is not None:
                 g_state = restored
                 print(f"[resume] generator step {int(g_state.step)}")
+                restored_d = ck_d.restore(d_state)
+                if restored_d is not None:
+                    d_state = restored_d
         predict = lambda x: tr.predict(g_state, x)  # noqa: E731
         if not eval_only:
             g_state, d_state = tr.fit(
-                g_state, d_state, pipe, checkpointer=ck, log_cb=jsonl,
+                g_state, d_state, pipe, checkpointer=ck,
+                d_checkpointer=ck_d, log_cb=jsonl,
+                epoch_hook=_make_sample_hook(
+                    cfg, run_dir, lambda s, x: tr.predict(s, x), b0
+                ),
             )
             predict = lambda x: tr.predict(g_state, x)  # noqa: E731
             save_params(os.path.join(run_dir, f"{cfg.model_name}_params.npz"),
@@ -199,7 +230,13 @@ def main(argv=None) -> int:
                 if "loss" in rec:
                     epoch_losses.append(rec["loss"])
 
-            state = tr.fit(state, pipe, checkpointer=ck, log_cb=log_cb)
+            state = tr.fit(
+                state, pipe, checkpointer=ck, log_cb=log_cb,
+                eval_hook=_make_sample_hook(
+                    cfg, run_dir,
+                    lambda s, x: predict_jit(s.params, s.batch_stats, x), b0,
+                ),
+            )
             predict = lambda x: predict_jit(state.params, state.batch_stats, x)  # noqa: E731
             if epoch_losses:
                 plot_loss(epoch_losses, os.path.join(run_dir, "loss.png"),

@@ -192,7 +192,9 @@ class GANTrainer:
         steps_per_epoch: int | None = None,
         pretrain_epochs: int | None = None,
         checkpointer=None,
+        d_checkpointer=None,
         log_cb=None,
+        epoch_hook=None,
     ) -> tuple[SRTrainState, SRTrainState]:
         cfg = self.cfg
         num_epochs = num_epochs if num_epochs is not None else cfg.num_epochs
@@ -202,7 +204,9 @@ class GANTrainer:
         )
         rng = g_state.rng
         t0 = time.time()
-        for epoch in range(num_epochs):
+        # resume support: G's step counts pretrain + adversarial steps
+        start_epoch = int(g_state.step) // spe
+        for epoch in range(start_epoch, num_epochs):
             phase = "pretrain" if epoch < pre else "adversarial"
             agg = {}
             for it in range(spe):
@@ -227,4 +231,10 @@ class GANTrainer:
             print(f"epoch {epoch + 1}/{num_epochs} [{phase}] {agg}")
             if checkpointer is not None and (epoch + 1) % cfg.save_epochs == 0:
                 checkpointer.save(g_state)
+                if d_checkpointer is not None:
+                    # key D snapshots by G's step (D has no steps during
+                    # the pretrain phase)
+                    d_checkpointer.save(d_state, step=int(g_state.step))
+            if epoch_hook is not None:
+                epoch_hook(g_state, epoch)
         return g_state.replace(rng=rng), d_state

@@ -58,8 +58,11 @@ class Checkpointer:
             options=ocp.CheckpointManagerOptions(max_to_keep=keep),
         )
 
-    def save(self, state: SRTrainState, wait: bool = False) -> int:
-        step = int(state.step)
+    def save(self, state: SRTrainState, wait: bool = False,
+             step: int | None = None) -> int:
+        """Save at ``state.step`` (or an explicit ``step`` id, e.g. to key a
+        discriminator snapshot by the generator's step)."""
+        step = int(state.step) if step is None else int(step)
         self._mgr.save(step, args=ocp.args.StandardSave(_state_to_tree(state)))
         if wait:
             self._mgr.wait_until_finished()
