@@ -75,9 +75,16 @@ def main() -> None:
     t_large = run(B_LARGE)
     px = (LR_SIZE * SCALE) ** 2
     mp_small, mp_large = B_SMALL * px / 1e6, B_LARGE * px / 1e6
-    marginal = (mp_large - mp_small) / max(t_large - t_small, 1e-9)
     observed = mp_large / t_large  # includes relay latency; lower bound
-    value = max(marginal, observed)
+    # marginal estimator needs a clearly-resolved time delta; under
+    # timing noise (t_large ≈ t_small) fall back to the observed rate
+    # rather than publishing a noise-divided absurdity
+    if t_large - t_small > 2e-3:
+        marginal = (mp_large - mp_small) / (t_large - t_small)
+        value = max(marginal, observed)
+    else:
+        marginal = float("nan")
+        value = observed
 
     print(
         f"[bench] EDSR x{SCALE} bf16 on {jax.devices()[0].device_kind}: "

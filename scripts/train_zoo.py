@@ -1,0 +1,112 @@
+"""Train the whole zoo on a corpus and record eval PSNR per model.
+
+Usage: python scripts/train_zoo.py [--steps N] [--out results_zoo.json]
+
+With network/datasets available this reproduces the reference recipes on
+BSDS300 → Set5; in network-less environments it runs the synthetic
+corpus end-to-end (recipe validation: every model must beat bicubic).
+Writes a JSON table consumed by RESULTS.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import numpy as np
+
+
+def run_one(name: str, steps: int, train_ds: str, test_ds: str) -> dict:
+    from sr.data.datasets import get_training_set
+    from sr.data.pipeline import PatchPipeline
+    from sr.eval.runner import evaluate
+    from sr.models.registry import get_spec
+    from sr.utils.config import SRConfig
+
+    spec = get_spec(name)
+    cfg = SRConfig(
+        model_name=name, scale_factor=4, crop_size=64, batch_size=32,
+        num_channels=spec.default_channels, dtype="bfloat16",
+        steps_per_epoch=min(steps, 200),
+        num_epochs=max(1, steps // min(steps, 200)),
+        train_dataset=train_ds, test_dataset=test_ds,
+        pretrain_epochs=max(1, steps // min(steps, 200) // 3),
+    )
+    train_set = get_training_set(cfg.data_dir, cfg.train_dataset)
+    color_c = spec.default_channels
+    images = [im if color_c == 3 else im[..., :1] for im in
+              (train_set[i] for i in range(len(train_set)))]
+    pipe = PatchPipeline(
+        images, crop_size=cfg.crop_size, scale_factor=4,
+        batch_size=cfg.batch_size, channels=color_c,
+        pre_upsample=spec.pre_upsample,
+        random_scale=False,
+    )
+    rng = jax.random.key(0)
+    b0 = pipe(rng)
+    t0 = time.time()
+
+    if spec.is_gan:
+        from sr.train.gan import GANTrainer
+
+        tr = GANTrainer(cfg)
+        g, d = tr.init_states(rng, b0["lr"][:1], b0["hr"][:1])
+        g, d = tr.fit(g, d, pipe)
+        predict = lambda x: tr.predict(g, x)  # noqa: E731
+    else:
+        from sr.train.trainer import Trainer
+
+        tr = Trainer(cfg)
+        state = tr.init_state(rng, b0[spec.input_key()][:1])
+        state = tr.fit(state, pipe)
+        pj = tr.make_predict_fn()
+        predict = lambda x: pj(state.params, state.batch_stats, x)  # noqa: E731
+
+    from sr.data.datasets import get_test_set
+
+    test_set = get_test_set(cfg.data_dir, cfg.test_dataset)
+    res = evaluate(
+        predict, test_set, 4, channels=color_c,
+        pre_upsample=spec.pre_upsample, dataset_name=cfg.test_dataset,
+        color_space="rgb" if cfg.test_dataset == "synthetic" else "ycbcr",
+    )
+    out = {
+        "model": name, "steps": steps,
+        "train_s": round(time.time() - t0, 1),
+        **res.summary(),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--train_dataset", default="synthetic")
+    p.add_argument("--test_dataset", default="synthetic")
+    p.add_argument("--out", default="results_zoo.json")
+    p.add_argument("--models", nargs="*", default=None)
+    a = p.parse_args()
+
+    from sr.models.registry import available_models
+
+    models = a.models or [m for m in available_models()]
+    results = []
+    for name in models:
+        try:
+            results.append(run_one(name, a.steps, a.train_dataset, a.test_dataset))
+        except Exception as e:  # noqa: BLE001
+            print(f"[zoo] {name} FAILED: {e}", file=sys.stderr, flush=True)
+            results.append({"model": name, "error": str(e)})
+    with open(a.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {a.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

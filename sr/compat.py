@@ -21,7 +21,7 @@ import jax
 import numpy as np
 
 from sr.data.datasets import get_test_set, get_training_set
-from sr.data.pipeline import PatchPipeline
+from sr.data.pipeline import PatchPipeline, build_patch_pipeline
 from sr.eval.panels import plot_loss, plot_test_result, save_img
 from sr.eval.runner import EvalResult, evaluate
 from sr.models.registry import get_spec
@@ -70,14 +70,7 @@ class ModelWrapper:
         if dataset == "train":
             train_set = get_training_set(cfg.data_dir, cfg.train_dataset, color)
             images = [train_set[i] for i in range(len(train_set))]
-            min_dim = min(min(im.shape[:2]) for im in images)
-            crop = min(cfg.crop_size, (min_dim // cfg.scale_factor) * cfg.scale_factor)
-            return PatchPipeline(
-                images, crop_size=crop, scale_factor=cfg.scale_factor,
-                batch_size=cfg.batch_size, channels=cfg.num_channels,
-                pre_upsample=self.spec.pre_upsample,
-                random_scale=crop * 2 <= min_dim,
-            )
+            return build_patch_pipeline(cfg, self.spec, images)
         return get_test_set(cfg.data_dir, cfg.test_dataset, color)
 
     def train(self) -> list[float]:

@@ -211,6 +211,23 @@ class PatchPipeline:
             i += 1
 
 
+def build_patch_pipeline(cfg, spec, images: list[np.ndarray]) -> PatchPipeline:
+    """Corpus-aware pipeline construction shared by the CLI and the
+    compat wrappers: reduce crop_size to fit the corpus (warn) and
+    disable random-scale when the 0.5× branch wouldn't fit."""
+    min_dim = min(min(im.shape[0], im.shape[1]) for im in images)
+    crop = cfg.crop_size
+    if crop > min_dim:
+        crop = (min_dim // cfg.scale_factor) * cfg.scale_factor
+        print(f"[warn] crop_size reduced to {crop} for a {min_dim}px corpus")
+    random_scale = crop * 2 <= min_dim
+    return PatchPipeline(
+        images, crop_size=crop, scale_factor=cfg.scale_factor,
+        batch_size=cfg.batch_size, channels=cfg.num_channels,
+        pre_upsample=spec.pre_upsample, random_scale=random_scale,
+    )
+
+
 def prefetch(it: Iterator, size: int = 2) -> Iterator:
     """Keep ``size`` already-dispatched batches in flight.
 

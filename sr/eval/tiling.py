@@ -96,21 +96,30 @@ def tiled_predict(
     return jnp.concatenate(rows, axis=0)[None]
 
 
+_SHARDED_CACHE: dict = {}
+
+
 def sharded_predict(predict_fn, x: jax.Array, mesh, axis: str = "spatial"):
     """Whole-image forward with rows sharded over ``axis`` (GSPMD halos).
 
     ``predict_fn`` must be jittable; the sharding constraint on the input
     rows makes XLA partition every conv spatially and insert the halo
-    exchanges over ICI.
+    exchanges over ICI. The jitted closure is cached per
+    (predict_fn, mesh, axis) so repeated calls (dataset eval) don't
+    re-trace — shape-keyed compilation then behaves like any jit.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sh = NamedSharding(mesh, P(None, axis))
+    key = (id(predict_fn), mesh, axis)
+    run = _SHARDED_CACHE.get(key)
+    if run is None:
+        sh = NamedSharding(mesh, P(None, axis))
 
-    @jax.jit
-    def run(x):
-        x = jax.lax.with_sharding_constraint(x, sh)
-        out = predict_fn(x)
-        return jax.lax.with_sharding_constraint(out, sh)
+        @jax.jit
+        def run(x):
+            x = jax.lax.with_sharding_constraint(x, sh)
+            out = predict_fn(x)
+            return jax.lax.with_sharding_constraint(out, sh)
 
+        _SHARDED_CACHE[key] = run
     return run(x)

@@ -47,8 +47,6 @@ def _d2s_kernel(x_ref, o_ref, *, r: int, act: str | None):
     x = x_ref[0]
     if act == "relu":
         x = jnp.maximum(x, 0)
-    elif act == "prelu_shared":
-        pass  # handled outside; kernel stays act-free
     th, w, crr = x.shape
     c = crr // (r * r)
     y = x.reshape(th, w, c, r, r).transpose(0, 3, 1, 4, 2).reshape(th * r, w * r, c)
@@ -64,6 +62,8 @@ def depth_to_space(
     ``use_pallas`` selects the streaming Pallas kernel (TPU only);
     ``act='relu'`` fuses a ReLU before the shuffle.
     """
+    if act not in (None, "relu"):
+        raise ValueError(f"unsupported fused activation {act!r} (None|'relu')")
     if not use_pallas:
         y = jnp.maximum(x, 0) if act == "relu" else x
         return depth_to_space_ref(y, r)

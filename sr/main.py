@@ -22,7 +22,7 @@ import jax
 import numpy as np
 
 from sr.data.datasets import get_test_set, get_training_set
-from sr.data.pipeline import PatchPipeline
+from sr.data.pipeline import PatchPipeline, build_patch_pipeline
 from sr.eval.panels import plot_loss, plot_test_result, save_img
 from sr.eval.runner import evaluate
 from sr.models.registry import available_models, get_spec
@@ -76,6 +76,7 @@ def parse_args(argv=None) -> SRConfig:
         num_threads=a.num_threads, dtype=a.dtype,
         steps_per_epoch=a.steps_per_epoch, seed=a.seed,
         mesh_shape=tuple(a.mesh) if a.mesh else (),
+        mesh_axes=("data", "spatial")[: len(a.mesh)] if a.mesh else ("data",),
         resume=not a.no_resume, use_pallas=a.use_pallas,
         vgg_weights_path=a.vgg_weights_path,
         pretrain_epochs=a.pretrain_epochs,
@@ -102,20 +103,7 @@ def build_pipeline(cfg: SRConfig, spec) -> PatchPipeline:
     color = "rgb" if cfg.num_channels == 3 else "ycbcr"
     train_set = get_training_set(cfg.data_dir, cfg.train_dataset, color)
     images = [train_set[i] for i in range(len(train_set))]
-    min_dim = min(min(im.shape[0], im.shape[1]) for im in images)
-    crop = cfg.crop_size
-    random_scale = True
-    if crop * 2 > min_dim:
-        random_scale = False  # corpus too small for the 0.5× branch
-    if crop > min_dim:
-        crop = (min_dim // cfg.scale_factor) * cfg.scale_factor
-        print(f"[warn] crop_size reduced to {crop} for a {min_dim}px corpus")
-    return PatchPipeline(
-        images, crop_size=crop, scale_factor=cfg.scale_factor,
-        batch_size=cfg.batch_size, channels=cfg.num_channels,
-        pre_upsample=spec.pre_upsample, random_scale=random_scale,
-        dtype=np.dtype("float32"),
-    )
+    return build_patch_pipeline(cfg, spec, images)
 
 
 def run_eval(cfg: SRConfig, spec, predict_fn, out_dir: str, log=print) -> dict:
@@ -184,6 +172,7 @@ def main(argv=None) -> int:
         g_state, d_state = tr.init_states(rng, b0["lr"][:1], b0["hr"][:1])
         ck_d = Checkpointer(os.path.join(run_dir, "ckpt_d"),
                             keep=cfg.keep_checkpoints)
+        restored = None
         if cfg.resume:
             restored = ck.restore(g_state)
             if restored is not None:
@@ -192,6 +181,11 @@ def main(argv=None) -> int:
                 restored_d = ck_d.restore(d_state)
                 if restored_d is not None:
                     d_state = restored_d
+        if eval_only and restored is None:
+            raise SystemExit(
+                "--eval_only needs a trained checkpoint in "
+                f"{os.path.join(run_dir, 'ckpt')}"
+            )
         predict = lambda x: tr.predict(g_state, x)  # noqa: E731
         if not eval_only:
             g_state, d_state = tr.fit(
@@ -213,11 +207,18 @@ def main(argv=None) -> int:
         b0 = pipe(rng)
         state = tr.init_state(rng, b0[spec.input_key()][:1])
         print(f"params: {tr.num_params(state):,}")
+        restored = None
         if cfg.resume:
             restored = ck.restore(state)
             if restored is not None:
                 state = restored
                 print(f"[resume] step {int(state.step)}")
+        if eval_only and restored is None:
+            raise SystemExit(
+                "--eval_only needs a trained checkpoint in "
+                f"{os.path.join(run_dir, 'ckpt')} (refusing to evaluate "
+                "randomly-initialized weights; reference wrappers refuse too)"
+            )
         predict_jit = tr.make_predict_fn()
         predict = lambda x: predict_jit(state.params, state.batch_stats, x)  # noqa: E731
         if not eval_only:

@@ -137,10 +137,15 @@ class GANTrainer:
 
         def step(g_state: SRTrainState, d_state: SRTrainState, batch):
             batch = self._shard(batch)
-            # ---- D update (fake detached: plain eval-mode G forward) ----
-            fake, _ = _apply(
-                g_model, g_state.params, g_state.batch_stats, batch["lr"], False
+            # ---- D update: fake is the TRAIN-mode G forward, detached
+            # (reference: srgan.py uses G(lr).detach() with the model in
+            # train mode) — D must classify the same fake distribution
+            # the G update optimizes, i.e. batch-stat BN output
+            fake, g_bs = _apply(
+                g_model, g_state.params, g_state.batch_stats, batch["lr"], True
             )
+            fake = jax.lax.stop_gradient(fake)
+            g_state = g_state.replace(batch_stats=g_bs)
             (d_loss, d_bs), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True
             )(d_state.params, d_state.batch_stats, fake, batch["hr"])
@@ -229,7 +234,11 @@ class GANTrainer:
                             }
                         )
             print(f"epoch {epoch + 1}/{num_epochs} [{phase}] {agg}")
-            if checkpointer is not None and (epoch + 1) % cfg.save_epochs == 0:
+            # current rng must reach any checkpoint (exact resume)
+            g_state = g_state.replace(rng=rng)
+            if checkpointer is not None and (
+                (epoch + 1) % cfg.save_epochs == 0 or epoch + 1 == num_epochs
+            ):
                 checkpointer.save(g_state)
                 if d_checkpointer is not None:
                     # key D snapshots by G's step (D has no steps during
@@ -237,4 +246,4 @@ class GANTrainer:
                     d_checkpointer.save(d_state, step=int(g_state.step))
             if epoch_hook is not None:
                 epoch_hook(g_state, epoch)
-        return g_state.replace(rng=rng), d_state
+        return g_state, d_state

@@ -155,7 +155,7 @@ class Trainer:
         cfg = self.cfg
         num_epochs = num_epochs or cfg.num_epochs
         spe = steps_per_epoch or cfg.steps_per_epoch
-        rng = state.rng
+        rng = state.rng  # resumes continue the stream (rng saved per epoch)
         t0 = time.time()
         for epoch in range(int(state.step) // spe, num_epochs):
             losses = []
@@ -176,10 +176,14 @@ class Trainer:
                         )
             avg = sum(losses) / max(len(losses), 1)
             print(f"epoch {epoch + 1}/{num_epochs} avg_loss={avg:.6f}")
+            # thread the CURRENT rng into the state before it can be
+            # checkpointed — otherwise a resumed run replays the batch
+            # stream from epoch 0 (exact-resume guarantee)
+            state = state.replace(rng=rng)
             if checkpointer is not None and (
                 (epoch + 1) % cfg.save_epochs == 0 or epoch + 1 == num_epochs
             ):
                 checkpointer.save(state)
             if eval_hook is not None:
                 eval_hook(state, epoch)
-        return state.replace(rng=rng)
+        return state
