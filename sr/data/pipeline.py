@@ -202,6 +202,18 @@ class PatchPipeline:
         """One (lr, hr[, bc]) batch dict, NHWC in [0,1]."""
         return self._sample(self._bank, key)
 
+    @property
+    def bank(self) -> jax.Array:
+        """The HBM-resident corpus (N, H, W, C) uint8."""
+        return self._bank
+
+    @property
+    def sample_fn(self):
+        """The pure sampler ``fn(bank, key) -> batch`` — jit/scan-safe, so
+        trainers can fold sampling INTO the train-step program (zero host
+        work per step; see Trainer.fit(steps_per_dispatch>1))."""
+        return self._sample
+
     def batches(self, key: jax.Array, num: int | None = None) -> Iterator[dict]:
         """Infinite (or ``num``-long) stream of batches."""
         i = 0

@@ -36,10 +36,13 @@ class AdjClipState(NamedTuple):
 
 
 def adjustable_grad_clip(theta: float, lr_schedule: optax.Schedule):
-    """VDSR's adjustable gradient clipping: clip grads to ±θ/γ(step).
+    """VDSR's adjustable gradient clipping: global grad norm ≤ θ/γ(step).
 
-    (Kim et al. CVPR'16 §3.4; reference: vdsr.py clips by θ/current-lr so
-    the effective update stays bounded as the LR decays.)
+    (Kim et al. CVPR'16 §3.4; reference: vdsr.py — torch
+    ``clip_grad_norm(params, clip/lr)`` — bounds the GLOBAL norm by
+    θ/current-lr so the effective update norm stays ≤ θ as the LR
+    decays. Elementwise clipping at the same limit is far too permissive
+    and lets lr=0.1 diverge at init.)
     """
 
     def init_fn(params):
@@ -49,7 +52,9 @@ def adjustable_grad_clip(theta: float, lr_schedule: optax.Schedule):
     def update_fn(updates, state, params=None):
         del params
         lim = theta / lr_schedule(state.count)
-        updates = jax.tree.map(lambda g: jnp.clip(g, -lim, lim), updates)
+        g_norm = optax.global_norm(updates)
+        scale = jnp.minimum(1.0, lim / jnp.maximum(g_norm, 1e-12))
+        updates = jax.tree.map(lambda g: g * scale, updates)
         return updates, AdjClipState(count=state.count + 1)
 
     return optax.GradientTransformation(init_fn, update_fn)

@@ -79,9 +79,12 @@ class Trainer:
 
     # -- the jitted step ----------------------------------------------------
 
-    def _build_step(self) -> Callable:
+    def _step_core(self, state: SRTrainState, batch) -> tuple[SRTrainState, dict]:
+        """One un-jitted train step (shared by the single-step jit and the
+        scan-of-K-steps program)."""
         spec, cfg, model = self.spec, self.cfg, self.model
         in_key = self._in_key
+        batch_sh = self._batch_sh
 
         def loss_fn(params, batch_stats, batch, step):
             out, new_bs = _apply(model, params, batch_stats, batch[in_key], True)
@@ -89,25 +92,54 @@ class Trainer:
             loss, metrics = spec.loss(out, batch, ctx)
             return loss, (metrics, new_bs)
 
-        batch_sh = self._batch_sh
+        # reshard wherever the batch comes from (pipeline output is
+        # single-device); GSPMD then all-reduces grads over ICI
+        batch = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, batch_sh), batch
+        )
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, state.step)
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+        return new_state, {"loss": loss, **metrics}
 
-        def step_fn(state: SRTrainState, batch) -> tuple[SRTrainState, dict]:
-            # reshard wherever the batch comes from (pipeline output is
-            # single-device); GSPMD then all-reduces grads over ICI
-            batch = jax.tree.map(
-                lambda x: jax.lax.with_sharding_constraint(x, batch_sh), batch
-            )
-            (loss, (metrics, new_bs)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params, state.batch_stats, batch, state.step)
-            new_state = state.apply_gradients(grads=grads, batch_stats=new_bs)
-            metrics = {"loss": loss, **metrics}
-            return new_state, metrics
-
+    def _build_step(self) -> Callable:
         return jax.jit(
-            step_fn,
+            self._step_core,
             in_shardings=(self._repl_sh, None),
             out_shardings=(self._repl_sh, self._repl_sh),
+            donate_argnums=(0,),
+        )
+
+    def make_multi_step(self, pipeline, k: int) -> Callable:
+        """ONE jitted program running K train steps, sampling each batch
+        on device from the pipeline's HBM-resident corpus inside the
+        program (``lax.scan``). Zero host work per step — the fully
+        realized on-device pipeline (BASELINE.json north star), and the
+        dispatch-latency amortization lever on relay-attached TPUs.
+
+        Returns ``fn(state, rng, bank) -> (state, rng, metrics)`` where
+        metrics are averaged over the K steps.
+        """
+        sample = pipeline.sample_fn
+
+        def run(state, rng, bank):
+            def body(carry, _):
+                state, rng = carry
+                rng, sub = jax.random.split(rng)
+                batch = sample(bank, sub)
+                state, metrics = self._step_core(state, batch)
+                return (state, rng), metrics
+
+            (state, rng), metrics = jax.lax.scan(
+                body, (state, rng), None, length=k
+            )
+            return state, rng, jax.tree.map(jnp.mean, metrics)
+
+        return jax.jit(
+            run,
+            in_shardings=(self._repl_sh, None, None),
+            out_shardings=(self._repl_sh, None, self._repl_sh),
             donate_argnums=(0,),
         )
 
@@ -157,23 +189,50 @@ class Trainer:
         spe = steps_per_epoch or cfg.steps_per_epoch
         rng = state.rng  # resumes continue the stream (rng saved per epoch)
         t0 = time.time()
+
+        k = max(1, min(cfg.steps_per_dispatch, spe))
+        multi = None
+        if k > 1 and hasattr(pipeline, "sample_fn"):
+            multi = self.make_multi_step(pipeline, k)
+
         for epoch in range(int(state.step) // spe, num_epochs):
             losses = []
-            for it in range(spe):
-                rng, sub = jax.random.split(rng)
-                batch = pipeline(sub)
-                state, metrics = self.train_step(state, batch)
-                if (it + 1) % cfg.log_every == 0 or it == spe - 1:
-                    losses.append(float(metrics["loss"]))
-                    if log_cb:
-                        log_cb(
-                            {
-                                "epoch": epoch,
-                                "step": int(state.step),
-                                "wall_s": round(time.time() - t0, 2),
-                                **{k: float(v) for k, v in metrics.items()},
-                            }
+
+            def _log(metrics, it):
+                losses.append(float(metrics["loss"]))
+                if log_cb:
+                    log_cb(
+                        {
+                            "epoch": epoch,
+                            "step": int(state.step),
+                            "wall_s": round(time.time() - t0, 2),
+                            **{k_: float(v) for k_, v in metrics.items()},
+                        }
+                    )
+
+            if multi is not None:
+                it = 0
+                while it < spe:
+                    if spe - it >= k:
+                        # strip the key from the donated state: it aliases
+                        # the separately-passed rng buffer (f(donate(a), a))
+                        state, rng, metrics = multi(
+                            state.replace(rng=None), rng, pipeline.bank
                         )
+                        it += k
+                    else:
+                        rng, sub = jax.random.split(rng)
+                        state, metrics = self.train_step(state, pipeline(sub))
+                        it += 1
+                    if it % max(cfg.log_every, k) < k or it >= spe:
+                        _log(metrics, it)
+            else:
+                for it in range(spe):
+                    rng, sub = jax.random.split(rng)
+                    batch = pipeline(sub)
+                    state, metrics = self.train_step(state, batch)
+                    if (it + 1) % cfg.log_every == 0 or it == spe - 1:
+                        _log(metrics, it)
             avg = sum(losses) / max(len(losses), 1)
             print(f"epoch {epoch + 1}/{num_epochs} avg_loss={avg:.6f}")
             # thread the CURRENT rng into the state before it can be

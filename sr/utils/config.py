@@ -52,6 +52,9 @@ class SRConfig:
     mesh_shape: tuple = ()  # e.g. (8,) for 8-way data parallel; () = auto
     mesh_axes: tuple = ("data",)
     log_every: int = 50
+    # >1 folds K train steps + on-device batch sampling into ONE jitted
+    # program (lax.scan) — amortizes per-dispatch host/relay latency
+    steps_per_dispatch: int = 1
     keep_checkpoints: int = 3
     resume: bool = True
     use_pallas: bool = False  # route hot ops through Pallas kernels

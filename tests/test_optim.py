@@ -29,13 +29,24 @@ def test_adjustable_clip_limits_follow_lr():
     params = {"w": jnp.zeros(3)}
     state = tx.init(params)
     big = {"w": jnp.array([100.0, -100.0, 1.0])}
-    # step 0: lr=0.1 → limit 4
+    norm = np.linalg.norm([100.0, -100.0, 1.0])
+    # step 0: lr=0.1 → global-norm limit 4
     u, state = tx.update(big, state)
-    np.testing.assert_allclose(np.asarray(u["w"]), [4.0, -4.0, 1.0])
+    np.testing.assert_allclose(
+        np.asarray(u["w"]), np.array([100.0, -100.0, 1.0]) * 4.0 / norm,
+        rtol=1e-5,
+    )
     u, state = tx.update(big, state)
     # step 2: lr=0.01 → limit 40
     u, state = tx.update(big, state)
-    np.testing.assert_allclose(np.asarray(u["w"]), [40.0, -40.0, 1.0])
+    np.testing.assert_allclose(
+        np.asarray(u["w"]), np.array([100.0, -100.0, 1.0]) * 40.0 / norm,
+        rtol=1e-5,
+    )
+    # small grads pass through unscaled
+    small = {"w": jnp.array([0.1, 0.1, 0.1])}
+    u, state = tx.update(small, state)
+    np.testing.assert_allclose(np.asarray(u["w"]), [0.1, 0.1, 0.1], rtol=1e-6)
 
 
 def test_vdsr_chain_runs():
