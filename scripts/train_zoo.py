@@ -21,7 +21,8 @@ import jax
 import numpy as np
 
 
-def run_one(name: str, steps: int, train_ds: str, test_ds: str) -> dict:
+def run_one(name: str, steps: int, train_ds: str, test_ds: str,
+            spd: int = 1) -> dict:
     from sr.data.datasets import get_training_set
     from sr.data.pipeline import PatchPipeline
     from sr.eval.runner import evaluate
@@ -36,6 +37,7 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str) -> dict:
         num_epochs=max(1, steps // min(steps, 200)),
         train_dataset=train_ds, test_dataset=test_ds,
         pretrain_epochs=max(1, steps // min(steps, 200) // 3),
+        steps_per_dispatch=spd,  # scan-fused trainer (non-GAN models)
     )
     train_set = get_training_set(cfg.data_dir, cfg.train_dataset)
     color_c = spec.default_channels
@@ -87,6 +89,8 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str) -> dict:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--spd", type=int, default=1,
+                   help="steps per dispatch (scan-fused trainer)")
     p.add_argument("--train_dataset", default="synthetic")
     p.add_argument("--test_dataset", default="synthetic")
     p.add_argument("--out", default="results_zoo.json")
@@ -99,7 +103,9 @@ def main():
     results = []
     for name in models:
         try:
-            results.append(run_one(name, a.steps, a.train_dataset, a.test_dataset))
+            results.append(
+                run_one(name, a.steps, a.train_dataset, a.test_dataset, a.spd)
+            )
         except Exception as e:  # noqa: BLE001
             print(f"[zoo] {name} FAILED: {e}", file=sys.stderr, flush=True)
             results.append({"model": name, "error": str(e)})

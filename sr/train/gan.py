@@ -81,27 +81,27 @@ class GANTrainer:
             lambda x: jax.lax.with_sharding_constraint(x, bsh), batch
         )
 
-    def _build_pretrain(self) -> Callable:
+    def _pretrain_core(self, g_state: SRTrainState, batch):
         g_model = self.g_model
 
         def loss_fn(params, bs, batch):
             sr, new_bs = _apply(g_model, params, bs, batch["lr"], True)
             return mse_loss(sr, batch["hr"]), new_bs
 
-        def step(g_state: SRTrainState, batch):
-            batch = self._shard(batch)
-            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                g_state.params, g_state.batch_stats, batch
-            )
-            g_state = g_state.apply_gradients(grads=grads, batch_stats=new_bs)
-            return g_state, {"g_content_loss": loss}
+        batch = self._shard(batch)
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            g_state.params, g_state.batch_stats, batch
+        )
+        g_state = g_state.apply_gradients(grads=grads, batch_stats=new_bs)
+        return g_state, {"g_content_loss": loss}
 
+    def _build_pretrain(self) -> Callable:
         return jax.jit(
-            step, in_shardings=(self._repl, None),
+            self._pretrain_core, in_shardings=(self._repl, None),
             out_shardings=(self._repl, self._repl), donate_argnums=(0,),
         )
 
-    def _build_adversarial(self) -> Callable:
+    def _adversarial_core(self, g_state: SRTrainState, d_state: SRTrainState, batch):
         g_model, d_model = self.g_model, self.d_model
         vgg_model, vgg_params = self.vgg_model, self.vgg_params
         w_vgg = self.cfg.vgg_loss_weight
@@ -135,7 +135,7 @@ class GANTrainer:
             metrics["g_adv_loss"] = adv
             return loss, (metrics, g_bs)
 
-        def step(g_state: SRTrainState, d_state: SRTrainState, batch):
+        def step(g_state, d_state, batch):
             batch = self._shard(batch)
             # ---- D update: fake is the TRAIN-mode G forward, detached
             # (reference: srgan.py uses G(lr).detach() with the model in
@@ -158,9 +158,65 @@ class GANTrainer:
             metrics = {"d_loss": d_loss, "g_loss": g_loss, **metrics}
             return g_state, d_state, metrics
 
+        return step(g_state, d_state, batch)
+
+    def _build_adversarial(self) -> Callable:
         return jax.jit(
-            step, in_shardings=(self._repl, self._repl, None),
+            self._adversarial_core,
+            in_shardings=(self._repl, self._repl, None),
             out_shardings=(self._repl, self._repl, self._repl),
+            donate_argnums=(0, 1),
+        )
+
+    def make_multi_step(self, pipeline, k: int, phase: str) -> Callable:
+        """Scan-fused K-step program for one GAN phase (see
+        Trainer.make_multi_step): samples each batch on device from the
+        pipeline's HBM corpus inside the jit.
+
+        pretrain:    fn(g_state, rng, bank) -> (g_state, rng, metrics)
+        adversarial: fn(g_state, d_state, rng, bank)
+                       -> (g_state, d_state, rng, metrics)
+        """
+        sample = pipeline.sample_fn
+
+        if phase == "pretrain":
+            inner = self._pretrain_core
+
+            def run(g_state, rng, bank):
+                def body(carry, _):
+                    g, rng = carry
+                    rng, sub = jax.random.split(rng)
+                    g, m = inner(g, sample(bank, sub))
+                    return (g, rng), m
+
+                (g_state, rng), ms = jax.lax.scan(
+                    body, (g_state, rng), None, length=k
+                )
+                return g_state, rng, jax.tree.map(jnp.mean, ms)
+
+            return jax.jit(
+                run, in_shardings=(self._repl, None, None),
+                out_shardings=(self._repl, None, self._repl),
+                donate_argnums=(0,),
+            )
+
+        inner = self._adversarial_core
+
+        def run(g_state, d_state, rng, bank):
+            def body(carry, _):
+                g, d, rng = carry
+                rng, sub = jax.random.split(rng)
+                g, d, m = inner(g, d, sample(bank, sub))
+                return (g, d, rng), m
+
+            (g_state, d_state, rng), ms = jax.lax.scan(
+                body, (g_state, d_state, rng), None, length=k
+            )
+            return g_state, d_state, rng, jax.tree.map(jnp.mean, ms)
+
+        return jax.jit(
+            run, in_shardings=(self._repl, self._repl, None, None),
+            out_shardings=(self._repl, self._repl, None, self._repl),
             donate_argnums=(0, 1),
         )
 
@@ -209,30 +265,57 @@ class GANTrainer:
         )
         rng = g_state.rng
         t0 = time.time()
+        k = max(1, min(cfg.steps_per_dispatch, spe))
+        multi = {}
+        if k > 1 and hasattr(pipeline, "sample_fn"):
+            multi = {
+                "pretrain": self.make_multi_step(pipeline, k, "pretrain"),
+                "adversarial": self.make_multi_step(pipeline, k, "adversarial"),
+            }
         # resume support: G's step counts pretrain + adversarial steps
         start_epoch = int(g_state.step) // spe
         for epoch in range(start_epoch, num_epochs):
             phase = "pretrain" if epoch < pre else "adversarial"
             agg = {}
-            for it in range(spe):
-                rng, sub = jax.random.split(rng)
-                batch = pipeline(sub)
-                if phase == "pretrain":
-                    g_state, metrics = self.pretrain_step(g_state, batch)
-                else:
-                    g_state, d_state, metrics = self.adversarial_step(
-                        g_state, d_state, batch
+
+            def _log(metrics):
+                nonlocal agg
+                agg = {k_: float(v) for k_, v in metrics.items()}
+                if log_cb:
+                    log_cb(
+                        {
+                            "epoch": epoch, "phase": phase,
+                            "step": int(g_state.step),
+                            "wall_s": round(time.time() - t0, 2), **agg,
+                        }
                     )
-                if (it + 1) % cfg.log_every == 0 or it == spe - 1:
-                    agg = {k: float(v) for k, v in metrics.items()}
-                    if log_cb:
-                        log_cb(
-                            {
-                                "epoch": epoch, "phase": phase,
-                                "step": int(g_state.step),
-                                "wall_s": round(time.time() - t0, 2), **agg,
-                            }
+
+            it = 0
+            while it < spe:
+                if multi and spe - it >= k:
+                    # strip rng from the donated state (aliases the rng arg)
+                    if phase == "pretrain":
+                        g_state, rng, metrics = multi[phase](
+                            g_state.replace(rng=None), rng, pipeline.bank
                         )
+                    else:
+                        g_state, d_state, rng, metrics = multi[phase](
+                            g_state.replace(rng=None), d_state, rng,
+                            pipeline.bank,
+                        )
+                    it += k
+                else:
+                    rng, sub = jax.random.split(rng)
+                    batch = pipeline(sub)
+                    if phase == "pretrain":
+                        g_state, metrics = self.pretrain_step(g_state, batch)
+                    else:
+                        g_state, d_state, metrics = self.adversarial_step(
+                            g_state, d_state, batch
+                        )
+                    it += 1
+                if it % max(cfg.log_every, k) < k or it >= spe:
+                    _log(metrics)
             print(f"epoch {epoch + 1}/{num_epochs} [{phase}] {agg}")
             # current rng must reach any checkpoint (exact resume)
             g_state = g_state.replace(rng=rng)
