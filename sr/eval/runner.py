@@ -74,6 +74,32 @@ def _rgb_to_y(rgb_u8: np.ndarray) -> np.ndarray:
     )
 
 
+def _device_y_psnr(sr_float, hr_u8, channels, color_space, border):
+    """Y-channel PSNR computed ON DEVICE — only a scalar leaves the chip.
+
+    Matters both for production (no host round-trip of full images) and
+    for this environment (relay D2H runs at ~180 KB/s). Replicates the
+    host path exactly up to f32 reduction error (≤1e-4 dB on real image
+    sizes; locked by tests/test_eval.py).
+    """
+    import jax.numpy as jnp
+
+    sr_u8f = jnp.clip(jnp.round(sr_float * 255.0), 0, 255)
+    hr = jnp.asarray(hr_u8).astype(jnp.float32)
+    if channels == 1:
+        y_sr, y_hr = sr_u8f[..., 0], hr[..., 0]
+    elif color_space == "rgb":
+        y_sr = rgb_to_ycbcr(sr_u8f)[..., 0]
+        y_hr = rgb_to_ycbcr(hr)[..., 0]
+    else:
+        y_sr, y_hr = sr_u8f[..., 0], hr[..., 0]
+    if border:
+        y_sr = y_sr[..., border:-border, border:-border]
+        y_hr = y_hr[..., border:-border, border:-border]
+    mse = jnp.mean((y_sr - y_hr) ** 2)
+    return 20.0 * jnp.log10(255.0 / jnp.sqrt(jnp.maximum(mse, 1e-20)))
+
+
 def evaluate(
     predict_fn,
     dataset,
@@ -84,12 +110,16 @@ def evaluate(
     shave_border: int | None = None,
     keep_images: bool = False,
     color_space: str = "ycbcr",
+    on_device_metrics: bool = False,
 ) -> EvalResult:
     """Run the harness over a FolderDataset/SyntheticDataset.
 
     ``predict_fn(x)`` maps a (1,h,w,channels) float32 [0,1] batch to the
     SR output batch. ``color_space`` describes how dataset images are
     encoded ('ycbcr' per the reference loader, or 'rgb' — synthetic).
+    ``on_device_metrics`` computes the SR PSNR on device and transfers
+    only the scalar (use when D2H bandwidth is the bottleneck; implies
+    the SR image itself is only fetched when ``keep_images``).
     """
     r = scale_factor
     border = r if shave_border is None else shave_border
@@ -112,7 +142,26 @@ def evaluate(
             if model_in.shape[-1] == 1:
                 model_in = np.repeat(model_in, 3, axis=2)
         x = model_in.astype(np.float32)[None] / 255.0
-        sr = np.asarray(predict_fn(x))[0]
+        sr_dev = predict_fn(x)
+
+        if on_device_metrics and not keep_images:
+            hr_cmp = hr[..., :1] if channels == 1 else hr
+            p_sr = float(
+                _device_y_psnr(sr_dev[0], hr_cmp, channels, color_space, border)
+            )
+            y_hr = hr[..., 0].astype(np.float64)
+            y_bc = (
+                bc[..., 0].astype(np.float64)
+                if (channels == 1 or color_space != "rgb")
+                else _rgb_to_y(bc)
+            )
+            if channels == 3 and color_space == "rgb":
+                y_hr = _rgb_to_y(hr)
+            p_bc = psnr(y_bc, y_hr, border=border)
+            res.images.append(ImageResult(names[i], p_sr, p_bc))
+            continue
+
+        sr = np.asarray(sr_dev)[0]
         sr_u8 = np.clip(np.round(sr * 255.0), 0, 255).astype(np.uint8)
 
         # --- PSNR on Y (the reference's parity metric) ----------------

@@ -58,6 +58,29 @@ def test_keep_images_merges_chroma():
     np.testing.assert_array_equal(r.sr[..., 1:], r.bicubic[..., 1:])
 
 
+def test_on_device_metrics_match_host():
+    """Device-side Y-PSNR ≡ host path within f32 reduction error."""
+    ds = SyntheticDataset(num_images=3, size=(64, 64), channels=3)
+
+    def blurry(x):  # an imperfect predictor so PSNR is finite
+        return np.clip(x + 0.01, 0.0, 1.0)
+
+    host = evaluate(blurry, ds, scale_factor=4, channels=1, pre_upsample=True)
+    dev = evaluate(blurry, ds, scale_factor=4, channels=1, pre_upsample=True,
+                   on_device_metrics=True)
+    for a, b in zip(host.images, dev.images):
+        assert abs(a.psnr_sr - b.psnr_sr) < 1e-3, (a.psnr_sr, b.psnr_sr)
+        assert a.psnr_bicubic == b.psnr_bicubic
+
+    # rgb color space path
+    host = evaluate(blurry, ds, scale_factor=4, channels=3, pre_upsample=True,
+                    color_space="rgb")
+    dev = evaluate(blurry, ds, scale_factor=4, channels=3, pre_upsample=True,
+                   color_space="rgb", on_device_metrics=True)
+    for a, b in zip(host.images, dev.images):
+        assert abs(a.psnr_sr - b.psnr_sr) < 1e-2, (a.psnr_sr, b.psnr_sr)
+
+
 def test_panels_and_logging(tmp_path):
     ds = SyntheticDataset(num_images=1, size=(32, 32), channels=3)
     hr = ds[0]
