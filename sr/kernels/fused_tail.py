@@ -1,0 +1,147 @@
+"""Collapse an affine upsampling tail into one conv + one pixel shuffle.
+
+EDSR's tail — [conv64→256, d2s₂, conv64→256, d2s₂, conv64→3] — contains
+NO activations (sr/models/edsr.py:Net.tail), so as a function it is
+affine and translation-equivariant. Any such map factors as
+
+    tail(y) = d2s_r( conv_SAME(y, K) + b )
+
+with a small composite kernel K (S×S×C_in×C_out·r²). Evaluating that
+single conv instead of the three-stage chain does ~10× fewer tail FLOPs
+and never materializes the 2× / 4× intermediates.
+
+K and b are extracted NUMERICALLY by impulse probing (no weight algebra
+to maintain): b = tail(0) read at one interior phase cell; K's taps are
+the tail's response to per-channel unit impulses.
+
+Exactness: the composite equals the original wherever the receptive
+field stays inside the image. At borders the original's per-stage
+'SAME' zero padding injects zeros AFTER earlier biases, which a single
+conv cannot reproduce — outputs differ in a band of ≤ S//2 · r output
+pixels. Use for throughput-critical interior work (e.g. with
+tiled_predict, whose halos make tile interiors exact) or where a border
+band is acceptable; parity evals keep the exact path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sr.kernels.depth_to_space import depth_to_space_ref, space_to_depth
+
+
+def extract_affine_conv(
+    tail_fn,
+    in_channels: int,
+    scale_factor: int,
+    support: int = 7,
+    tol: float = 1e-5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Impulse-probe an affine ×r upsampler into (K, b).
+
+    ``tail_fn``: (1, P, P, in_channels) float32 → (1, rP, rP, C_out).
+    Returns ``K`` (S, S, in_channels, C_out·r²) float32 and ``b``
+    (C_out·r²,) such that ``d2s_r(conv_SAME(y, K) + b) == tail_fn(y)``
+    in the interior. Raises if energy remains outside the S×S support
+    (support too small → not a local affine map of that radius).
+    """
+    with jax.default_matmul_precision("highest"):
+        return _extract_affine_conv(tail_fn, in_channels, scale_factor,
+                                    support, tol)
+
+
+def _extract_affine_conv(tail_fn, in_channels, scale_factor, support, tol):
+    # NOTE: runs under matmul precision 'highest' — TPU f32 convs
+    # otherwise use bf16 passes, which would quantize the extracted taps
+    # and trip the affineness check with pure rounding noise.
+    r = scale_factor
+    S = support
+    c0 = S // 2
+    P = 4 * S  # probe canvas: comfortably larger than the support
+    p0 = P // 2
+
+    zeros = jnp.zeros((1, P, P, in_channels), jnp.float32)
+    bias_map = np.asarray(tail_fn(zeros))  # (1, rP, rP, C_out)
+    c_out = bias_map.shape[-1]
+    bias_phases = space_to_depth(jnp.asarray(bias_map), r)[0]  # (P,P,C_out·r²)
+    b = np.asarray(bias_phases[p0, p0])
+    # affine check: bias must be spatially constant in the interior
+    interior = np.asarray(bias_phases[c0 : P - c0, c0 : P - c0])
+    if not np.allclose(interior, b, atol=1e-4):
+        raise ValueError("tail is not translation-invariant affine (bias varies)")
+
+    K = np.zeros((S, S, in_channels, c_out * r * r), np.float32)
+    for ci in range(in_channels):
+        y = zeros.at[0, p0, p0, ci].set(1.0)
+        resp = np.asarray(space_to_depth(jnp.asarray(tail_fn(y)), r))[0]
+        resp = resp - np.asarray(bias_phases)  # remove affine offset
+        # conv_SAME: z[p,q] = Σ K[dy,dx] y[p+dy-c0, q+dx-c0]
+        # with y = δ at p0 → z[p,q] = K[p0-p+c0, p0-q+c0]
+        for a in range(S):
+            for bb in range(S):
+                K[a, bb, ci, :] = resp[p0 + c0 - a, p0 + c0 - bb, :]
+        # energy outside the claimed support ⇒ support too small
+        resp[p0 + c0 - (S - 1) : p0 + c0 + 1, p0 + c0 - (S - 1) : p0 + c0 + 1] = 0
+        leak = np.abs(resp).max()
+        if leak > tol:
+            raise ValueError(
+                f"impulse response leaks {leak:.2e} outside support {S} "
+                f"(channel {ci}) — increase `support`"
+            )
+
+    # superposition check: impulse probing alone cannot certify
+    # affineness (e.g. a ReLU that is inactive at zero/impulse inputs);
+    # validate the composite against the tail on a random dense input.
+    y = jax.random.uniform(jax.random.key(0), (1, P, P, in_channels))
+    want = np.asarray(tail_fn(y))
+    z = jax.lax.conv_general_dilated(
+        y, jnp.asarray(K), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + jnp.asarray(b)
+    got = np.asarray(depth_to_space_ref(z, r))
+    m = c0 * r  # border band where per-stage padding legitimately differs
+    err = np.abs(got[:, m:-m, m:-m] - want[:, m:-m, m:-m]).max()
+    if err > 1e-3:
+        raise ValueError(
+            f"composite deviates {err:.2e} from the tail on a dense input — "
+            "the tail is not affine (activation or norm inside?)"
+        )
+    return K, b
+
+
+def make_fused_tail_predict(model, variables, support: int = 7):
+    """Jitted EDSR-style forward with the tail collapsed to one conv.
+
+    ``model`` must expose ``body``/``tail`` methods (sr/models/edsr.py).
+    Interior-exact vs ``model.apply(variables, x)``; see module docstring
+    for the border-band caveat.
+    """
+    r = model.scale_factor
+    # probe an f32 clone: bf16 rounding noise would fail the affineness
+    # superposition check and quantize the extracted taps
+    model_f32 = model.clone(dtype=jnp.float32)
+
+    def tail_f32(y):
+        return model_f32.apply(variables, y, train=False, method="tail").astype(
+            jnp.float32
+        )
+
+    K, b = extract_affine_conv(tail_f32, model.base_filter, r, support)
+    K_j = jnp.asarray(K, model.dtype)
+    b_j = jnp.asarray(b, jnp.float32)
+
+    @jax.jit
+    def predict(x):
+        h = model.apply(variables, x, train=False, method="body")
+        z = jax.lax.conv_general_dilated(
+            h.astype(model.dtype), K_j, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ) + b_j
+        return depth_to_space_ref(z.astype(h.dtype), r)
+
+    return predict

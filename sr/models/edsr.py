@@ -17,6 +17,9 @@ from sr.train.losses import l1_loss
 from sr.train.optim import adam_with_halving
 
 
+_STAGES = {2: (2,), 3: (3,), 4: (2, 2), 8: (2, 2, 2)}
+
+
 class Net(nn.Module):
     num_channels: int = 3
     base_filter: int = 64
@@ -25,30 +28,42 @@ class Net(nn.Module):
     res_scale: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
+    def setup(self):
+        if self.scale_factor not in _STAGES:
+            raise ValueError(f"unsupported scale {self.scale_factor}")
         f = self.base_filter
-        x = ConvBlock(f, 3, act=None, dtype=self.dtype)(x, train)
+        self.head = ConvBlock(f, 3, act=None, dtype=self.dtype)
+        self.blocks = [
+            ResnetBlock(f, 3, act="relu", norm=None,
+                        res_scale=self.res_scale, dtype=self.dtype)
+            for _ in range(self.num_resblocks)
+        ]
+        self.body_conv = ConvBlock(f, 3, act=None, dtype=self.dtype)
+        self.upsample = [
+            PSBlock(f, s, act=None, dtype=self.dtype)
+            for s in _STAGES[self.scale_factor]
+        ]
+        self.out_conv = ConvBlock(self.num_channels, 3, act=None, dtype=self.dtype)
+
+    def body(self, x, train: bool = False):
+        """Nonlinear trunk: head conv → resblocks → conv + global skip."""
+        x = self.head(x, train)
         skip = x
-        for _ in range(self.num_resblocks):
-            x = ResnetBlock(
-                f, 3, act="relu", norm=None, res_scale=self.res_scale,
-                dtype=self.dtype,
-            )(x, train)
-        x = ConvBlock(f, 3, act=None, dtype=self.dtype)(x, train)
-        x = x + skip
-        r = self.scale_factor
-        if r in (2, 3):
-            x = PSBlock(f, r, act=None, dtype=self.dtype)(x, train)
-        elif r == 4:
-            x = PSBlock(f, 2, act=None, dtype=self.dtype)(x, train)
-            x = PSBlock(f, 2, act=None, dtype=self.dtype)(x, train)
-        elif r == 8:
-            for _ in range(3):
-                x = PSBlock(f, 2, act=None, dtype=self.dtype)(x, train)
-        else:
-            raise ValueError(f"unsupported scale {r}")
-        return ConvBlock(self.num_channels, 3, act=None, dtype=self.dtype)(x, train)
+        for blk in self.blocks:
+            x = blk(x, train)
+        x = self.body_conv(x, train)
+        return x + skip
+
+    def tail(self, x, train: bool = False):
+        """Upsampling tail — entirely AFFINE (PS convs and the output
+        conv have no activations), which makes it collapsible into one
+        conv + one depth_to_space (sr/kernels/fused_tail.py)."""
+        for up in self.upsample:
+            x = up(x, train)
+        return self.out_conv(x, train)
+
+    def __call__(self, x, train: bool = False):
+        return self.tail(self.body(x, train), train)
 
 
 def _make(cfg):
