@@ -89,6 +89,13 @@ class PatchPipeline:
     channels: int = 3
     augment: bool = True
     random_scale: bool = True
+    # 'item' draws the random-scale per sample (reference behavior);
+    # 'batch' draws once per batch. Counter-intuitively, 'item' is FASTER
+    # on TPU (50 vs 35 steps/s scan-fused): vmap turns the switch into
+    # straight-line all-branch dataflow that XLA pipelines, while the
+    # unbatched-predicate branch is real control flow inside the scan.
+    # 'batch' kept for backends where control flow wins.
+    random_scale_mode: str = "item"
     pre_upsample: bool = False
     # multi-scale training (VDSR/DRCN are multi-scale-capable —
     # reference: vdsr.py trains one net for ×2/×3/×4): each sample draws
@@ -135,7 +142,7 @@ class PatchPipeline:
         # static source-patch size per scale branch
         patch_sizes = [min(int(round(crop / s)), min(h, w)) for s in scales]
 
-        def one(bank, key):
+        def one(bank, key, s_idx):
             ks = jax.random.split(key, 6)
             idx = jax.random.randint(ks[0], (), 0, n)
             img = bank[idx]  # (h, w, c) uint8
@@ -155,7 +162,6 @@ class PatchPipeline:
                 return fn
 
             if len(scales) > 1:
-                s_idx = jax.random.randint(ks[1], (), 0, len(scales))
                 hr = jax.lax.switch(
                     s_idx, [crop_branch(p) for p in patch_sizes], ks[2]
                 )
@@ -191,8 +197,18 @@ class PatchPipeline:
             return out
 
         def sample(bank, key):
+            key, ks_key = jax.random.split(key)
             keys = jax.random.split(key, self.batch_size)
-            batch = jax.vmap(lambda k: one(bank, k))(keys)
+            if self.random_scale_mode == "batch":
+                # one scale per batch → the switch predicate is unbatched
+                # and vmap keeps it a true branch (one resize, not six)
+                s_idx = jax.random.randint(ks_key, (), 0, len(scales))
+                batch = jax.vmap(lambda k: one(bank, k, s_idx))(keys)
+            else:  # per-item (reference behavior)
+                s_all = jax.random.randint(
+                    ks_key, (self.batch_size,), 0, len(scales)
+                )
+                batch = jax.vmap(lambda k, s: one(bank, k, s))(keys, s_all)
             # normalize to [0,1] in the compute dtype
             return jax.tree.map(lambda x: (x / 255.0).astype(self.dtype), batch)
 

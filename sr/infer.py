@@ -1,0 +1,104 @@
+"""One-call inference API: upscale an image with a trained model.
+
+The user-facing serving surface: loads exported params, picks the right
+input convention (pre-upsample vs raw LR, Y-channel vs RGB), routes big
+images through halo-tiled inference, optionally uses the fused affine
+tail (EDSR), and merges chroma for 1-channel models — everything the
+reference's ``test()`` did per-model, as one reusable function.
+
+    from sr.infer import upscale
+    sr_img = upscale(img_u8, "EDSR", "results/EDSR_x4/EDSR_params.npz",
+                     scale_factor=4)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+
+from sr.data.native import resize_bicubic_u8
+from sr.models.registry import get_spec
+from sr.utils.checkpoint import load_params
+from sr.utils.config import SRConfig
+
+
+@functools.lru_cache(maxsize=8)
+def _load(model_name: str, params_path: str, scale_factor: int,
+          num_channels: int | None, dtype: str, fused: bool):
+    spec = get_spec(model_name)
+    channels = num_channels or spec.default_channels
+    cfg = SRConfig(model_name=model_name, scale_factor=scale_factor,
+                   num_channels=channels, dtype=dtype)
+    model = spec.make_model(cfg)
+    params, batch_stats = load_params(params_path)
+    variables = {"params": params}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+
+    if fused and hasattr(model, "tail"):
+        from sr.kernels.fused_tail import make_fused_tail_predict
+
+        fn = make_fused_tail_predict(model, variables)
+    else:
+        fn = jax.jit(lambda x: model.apply(variables, x, train=False))
+    return spec, channels, fn
+
+
+def upscale(
+    img: np.ndarray,
+    model_name: str,
+    params_path: str,
+    scale_factor: int = 4,
+    num_channels: int | None = None,
+    dtype: str = "bfloat16",
+    tile: int | None = 256,
+    fused: bool = False,
+    color_space: str = "rgb",
+) -> np.ndarray:
+    """Super-resolve a uint8 (H, W[, C]) image → uint8 (rH, rW, C).
+
+    ``tile``: route images larger than this through exact halo-tiled
+    inference (None = always full-image). ``fused``: use the collapsed
+    affine tail where the model supports it (interior-identical, faster;
+    see sr/kernels/fused_tail.py). 1-channel models get bicubic-upscaled
+    chroma merged back (reference render behavior).
+    """
+    from sr.eval.tiling import RECEPTIVE_FIELD, tiled_predict
+
+    spec, channels, fn = _load(
+        model_name, params_path, scale_factor, num_channels, dtype, fused
+    )
+    if img.ndim == 2:
+        img = img[:, :, None]
+    r = scale_factor
+    h, w = img.shape[:2]
+
+    if spec.pre_upsample:
+        model_in = resize_bicubic_u8(img, (h * r, w * r))
+        net_scale = 1
+    else:
+        model_in = img
+        net_scale = r
+    if channels == 1:
+        net_in = model_in[..., :1]
+    else:
+        net_in = model_in if model_in.shape[-1] == 3 else np.repeat(
+            model_in, 3, axis=2
+        )
+    x = net_in.astype(np.float32)[None] / 255.0
+
+    halo = RECEPTIVE_FIELD.get(model_name.lower(), 48)
+    if tile is not None and max(x.shape[1], x.shape[2]) > tile:
+        out = tiled_predict(fn, x, net_scale, tile=tile, halo=halo)
+    else:
+        out = fn(x)
+    sr = np.asarray(out, np.float32)[0]
+    sr_u8 = np.clip(np.round(sr * 255.0), 0, 255).astype(np.uint8)
+
+    if channels == 1 and img.shape[-1] == 3:
+        # merge model luma with bicubic-upscaled chroma
+        chroma = resize_bicubic_u8(img, (h * r, w * r))[..., 1:]
+        sr_u8 = np.concatenate([sr_u8[..., :1], chroma], axis=-1)
+    return sr_u8
