@@ -121,6 +121,11 @@ class PatchPipeline:
             )
         if self.crop_size % self.scale_factor:
             raise ValueError("crop_size must divide by scale_factor")
+        if self.random_scale_mode not in ("item", "batch"):
+            raise ValueError(
+                f"random_scale_mode must be 'item' or 'batch', "
+                f"got {self.random_scale_mode!r}"
+            )
         if self.scale_factors:
             if not self.pre_upsample:
                 raise ValueError(

@@ -97,7 +97,9 @@ def _device_y_psnr(sr_float, hr_u8, channels, color_space, border):
         y_sr = y_sr[..., border:-border, border:-border]
         y_hr = y_hr[..., border:-border, border:-border]
     mse = jnp.mean((y_sr - y_hr) ** 2)
-    return 20.0 * jnp.log10(255.0 / jnp.sqrt(jnp.maximum(mse, 1e-20)))
+    val = 20.0 * jnp.log10(255.0 / jnp.sqrt(jnp.maximum(mse, 1e-20)))
+    # match the host path on perfect reconstruction (inf, not ~248 dB)
+    return jnp.where(mse == 0.0, jnp.inf, val)
 
 
 def evaluate(

@@ -25,8 +25,12 @@ from sr.utils.config import SRConfig
 
 
 @functools.lru_cache(maxsize=8)
-def _load(model_name: str, params_path: str, scale_factor: int,
-          num_channels: int | None, dtype: str, fused: bool):
+def _load(model_name: str, params_path: str, params_mtime: float,
+          scale_factor: int, num_channels: int | None, dtype: str,
+          fused: bool):
+    # params_mtime keys the cache so a re-exported file at the same path
+    # is picked up instead of serving stale weights
+    del params_mtime
     spec = get_spec(model_name)
     channels = num_channels or spec.default_channels
     cfg = SRConfig(model_name=model_name, scale_factor=scale_factor,
@@ -62,21 +66,44 @@ def upscale(
     ``tile``: route images larger than this through exact halo-tiled
     inference (None = always full-image). ``fused``: use the collapsed
     affine tail where the model supports it (interior-identical, faster;
-    see sr/kernels/fused_tail.py). 1-channel models get bicubic-upscaled
-    chroma merged back (reference render behavior).
+    see sr/kernels/fused_tail.py). ``color_space`` declares how a
+    3-channel ``img`` is encoded ('rgb' or 'ycbcr'); 1-channel models
+    super-resolve the LUMA channel (converting from RGB when needed),
+    merge bicubic-upscaled chroma back, and return the input encoding.
+    3-channel models receive ``img`` as-is (feed them the space they
+    were trained in).
     """
+    import os
+
+    from sr.eval.metrics import rgb_to_ycbcr, ycbcr_to_rgb
     from sr.eval.tiling import RECEPTIVE_FIELD, tiled_predict
 
     spec, channels, fn = _load(
-        model_name, params_path, scale_factor, num_channels, dtype, fused
+        model_name, params_path, os.path.getmtime(params_path),
+        scale_factor, num_channels, dtype, fused,
     )
     if img.ndim == 2:
         img = img[:, :, None]
     r = scale_factor
     h, w = img.shape[:2]
 
+    # 1-channel models operate on luma: convert RGB input to YCbCr first
+    to_rgb_out = False
+    if channels == 1 and img.shape[-1] == 3 and color_space == "rgb":
+        img = np.clip(
+            np.round(np.asarray(rgb_to_ycbcr(img.astype(np.float32)))),
+            0, 255,
+        ).astype(np.uint8)
+        to_rgb_out = True
+
+    # one full-image bicubic upsample serves pre-upsample input AND the
+    # chroma merge
+    bc_full = None
+    if spec.pre_upsample or (channels == 1 and img.shape[-1] == 3):
+        bc_full = resize_bicubic_u8(img, (h * r, w * r))
+
     if spec.pre_upsample:
-        model_in = resize_bicubic_u8(img, (h * r, w * r))
+        model_in = bc_full
         net_scale = 1
     else:
         model_in = img
@@ -99,6 +126,10 @@ def upscale(
 
     if channels == 1 and img.shape[-1] == 3:
         # merge model luma with bicubic-upscaled chroma
-        chroma = resize_bicubic_u8(img, (h * r, w * r))[..., 1:]
-        sr_u8 = np.concatenate([sr_u8[..., :1], chroma], axis=-1)
+        sr_u8 = np.concatenate([sr_u8[..., :1], bc_full[..., 1:]], axis=-1)
+    if to_rgb_out:
+        sr_u8 = np.clip(
+            np.round(np.asarray(ycbcr_to_rgb(sr_u8.astype(np.float32)))),
+            0, 255,
+        ).astype(np.uint8)
     return sr_u8

@@ -290,32 +290,37 @@ class GANTrainer:
                         }
                     )
 
-            it = 0
-            while it < spe:
-                if multi and spe - it >= k:
-                    # strip rng from the donated state (aliases the rng arg)
-                    if phase == "pretrain":
-                        g_state, rng, metrics = multi[phase](
-                            g_state.replace(rng=None), rng, pipeline.bank
-                        )
-                    else:
-                        g_state, d_state, rng, metrics = multi[phase](
-                            g_state.replace(rng=None), d_state, rng,
-                            pipeline.bank,
-                        )
-                    it += k
+            def do_single(sub, phase=phase):
+                nonlocal g_state, d_state
+                batch = pipeline(sub)
+                if phase == "pretrain":
+                    g_state, metrics = self.pretrain_step(g_state, batch)
                 else:
-                    rng, sub = jax.random.split(rng)
-                    batch = pipeline(sub)
-                    if phase == "pretrain":
-                        g_state, metrics = self.pretrain_step(g_state, batch)
-                    else:
-                        g_state, d_state, metrics = self.adversarial_step(
-                            g_state, d_state, batch
-                        )
-                    it += 1
-                if it % max(cfg.log_every, k) < k or it >= spe:
-                    _log(metrics)
+                    g_state, d_state, metrics = self.adversarial_step(
+                        g_state, d_state, batch
+                    )
+                return metrics
+
+            def do_multi(rng, phase=phase):
+                nonlocal g_state, d_state
+                # strip rng from the donated state (aliases the rng arg)
+                if phase == "pretrain":
+                    g_state, rng, metrics = multi[phase](
+                        g_state.replace(rng=None), rng, pipeline.bank
+                    )
+                else:
+                    g_state, d_state, rng, metrics = multi[phase](
+                        g_state.replace(rng=None), d_state, rng,
+                        pipeline.bank,
+                    )
+                return rng, metrics
+
+            from sr.train.loop import dispatch_epoch
+
+            rng = dispatch_epoch(
+                spe, k, cfg.log_every, rng, do_single,
+                do_multi if multi else None, _log,
+            )
             print(f"epoch {epoch + 1}/{num_epochs} [{phase}] {agg}")
             # current rng must reach any checkpoint (exact resume)
             g_state = g_state.replace(rng=rng)

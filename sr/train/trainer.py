@@ -195,10 +195,12 @@ class Trainer:
         if k > 1 and hasattr(pipeline, "sample_fn"):
             multi = self.make_multi_step(pipeline, k)
 
+        from sr.train.loop import dispatch_epoch
+
         for epoch in range(int(state.step) // spe, num_epochs):
             losses = []
 
-            def _log(metrics, it):
+            def _log(metrics):
                 losses.append(float(metrics["loss"]))
                 if log_cb:
                     log_cb(
@@ -210,29 +212,24 @@ class Trainer:
                         }
                     )
 
-            if multi is not None:
-                it = 0
-                while it < spe:
-                    if spe - it >= k:
-                        # strip the key from the donated state: it aliases
-                        # the separately-passed rng buffer (f(donate(a), a))
-                        state, rng, metrics = multi(
-                            state.replace(rng=None), rng, pipeline.bank
-                        )
-                        it += k
-                    else:
-                        rng, sub = jax.random.split(rng)
-                        state, metrics = self.train_step(state, pipeline(sub))
-                        it += 1
-                    if it % max(cfg.log_every, k) < k or it >= spe:
-                        _log(metrics, it)
-            else:
-                for it in range(spe):
-                    rng, sub = jax.random.split(rng)
-                    batch = pipeline(sub)
-                    state, metrics = self.train_step(state, batch)
-                    if (it + 1) % cfg.log_every == 0 or it == spe - 1:
-                        _log(metrics, it)
+            def do_single(sub):
+                nonlocal state
+                state, metrics = self.train_step(state, pipeline(sub))
+                return metrics
+
+            def do_multi(rng):
+                nonlocal state
+                # strip the key from the donated state: it aliases the
+                # separately-passed rng buffer (f(donate(a), a))
+                state, rng, metrics = multi(
+                    state.replace(rng=None), rng, pipeline.bank
+                )
+                return rng, metrics
+
+            rng = dispatch_epoch(
+                spe, k, cfg.log_every, rng, do_single,
+                do_multi if multi is not None else None, _log,
+            )
             avg = sum(losses) / max(len(losses), 1)
             print(f"epoch {epoch + 1}/{num_epochs} avg_loss={avg:.6f}")
             # thread the CURRENT rng into the state before it can be

@@ -48,6 +48,55 @@ def test_upscale_tiled_equals_full(espcn_params):
     np.testing.assert_array_equal(full, tiled)
 
 
+def test_upscale_rgb_luma_conversion(espcn_params):
+    """RGB input to a 1-ch model: SR happens on LUMA (RGB→YCbCr→RGB),
+    not on the raw red channel."""
+    from sr.eval.metrics import rgb_to_ycbcr
+
+    img = SyntheticDataset(1, (32, 32), 3)[0]
+    out_rgb = upscale(img, "ESPCN", espcn_params, scale_factor=4,
+                      dtype="float32", tile=None, color_space="rgb")
+    # treat the same bytes as YCbCr: a different pipeline must result
+    out_ycc = upscale(img, "ESPCN", espcn_params, scale_factor=4,
+                      dtype="float32", tile=None, color_space="ycbcr")
+    assert not np.array_equal(out_rgb, out_ycc)
+    # chroma of the rgb-path output comes from bicubic: its Cb/Cr should
+    # track the input's bicubic-upscaled chroma closely
+    from sr.data.native import resize_bicubic_u8
+
+    ycc_in = np.clip(np.round(np.asarray(
+        rgb_to_ycbcr(img.astype(np.float32)))), 0, 255).astype(np.uint8)
+    bc = resize_bicubic_u8(ycc_in, (128, 128))
+    out_ycc_again = np.asarray(rgb_to_ycbcr(out_rgb.astype(np.float32)))
+    assert np.abs(out_ycc_again[..., 1:] - bc[..., 1:].astype(np.float32)).mean() < 3.0
+
+
+def test_upscale_stale_cache_invalidated(tmp_path):
+    """Re-exporting params at the same path must refresh inference."""
+    import time
+
+    import jax
+
+    from sr.models.registry import get_spec
+    from sr.utils.checkpoint import save_params
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="ESPCN", scale_factor=2, num_channels=1,
+                   dtype="float32")
+    model = get_spec("ESPCN").make_model(cfg)
+    path = str(tmp_path / "p.npz")
+    img = SyntheticDataset(1, (16, 16), 1)[0]
+    outs = []
+    for seed in (0, 1):
+        v = model.init(jax.random.key(seed),
+                       np.zeros((1, 8, 8, 1), np.float32), train=False)
+        save_params(path, v["params"])
+        time.sleep(0.01)  # ensure distinct mtime
+        outs.append(upscale(img, "ESPCN", path, scale_factor=2,
+                            dtype="float32", tile=None))
+    assert not np.array_equal(outs[0], outs[1])
+
+
 def test_upscale_pre_upsample_model(tmp_path):
     cfg = SRConfig(model_name="SRCNN", scale_factor=4, num_channels=1,
                    dtype="float32")
