@@ -246,18 +246,31 @@ class PatchPipeline:
 
 def build_patch_pipeline(cfg, spec, images: list[np.ndarray]) -> PatchPipeline:
     """Corpus-aware pipeline construction shared by the CLI and the
-    compat wrappers: reduce crop_size to fit the corpus (warn) and
-    disable random-scale when the 0.5× branch wouldn't fit."""
+    compat wrappers: reduce crop_size to fit the corpus (warn), disable
+    random-scale when the 0.5× branch wouldn't fit, and honor the
+    config's multi-scale factors for pre-upsample models."""
     min_dim = min(min(im.shape[0], im.shape[1]) for im in images)
     crop = cfg.crop_size
     if crop > min_dim:
         crop = (min_dim // cfg.scale_factor) * cfg.scale_factor
         print(f"[warn] crop_size reduced to {crop} for a {min_dim}px corpus")
     random_scale = crop * 2 <= min_dim
+    scale_factors = tuple(getattr(cfg, "scale_factors", ()) or ())
+    if scale_factors and not spec.pre_upsample:
+        print(f"[warn] {cfg.model_name} is not pre-upsample; "
+              "--multi_scale ignored")
+        scale_factors = ()
+    if scale_factors:
+        lcm = int(np.lcm.reduce(np.array(scale_factors)))
+        if crop % lcm:
+            crop = (crop // lcm) * lcm
+            print(f"[warn] crop_size reduced to {crop} (divisible by "
+                  f"all of {scale_factors})")
     return PatchPipeline(
         images, crop_size=crop, scale_factor=cfg.scale_factor,
         batch_size=cfg.batch_size, channels=cfg.num_channels,
         pre_upsample=spec.pre_upsample, random_scale=random_scale,
+        scale_factors=scale_factors,
     )
 
 

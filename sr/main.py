@@ -61,6 +61,13 @@ def parse_args(argv=None) -> SRConfig:
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--vgg_weights_path", default=None)
     p.add_argument("--pretrain_epochs", type=int, default=d.pretrain_epochs)
+    p.add_argument("--multi_scale", type=int, nargs="*", default=None,
+                   help="train one net on mixed factors, e.g. "
+                        "--multi_scale 2 3 4 (VDSR/DRCN)")
+    p.add_argument("--steps_per_dispatch", type=int, default=d.steps_per_dispatch,
+                   help=">1 fuses K steps + sampling into one program")
+    p.add_argument("--fast_eval", action="store_true",
+                   help="on-device PSNR, no image transfer / panels")
     a = p.parse_args(argv)
 
     spec = get_spec(a.model_name)
@@ -80,8 +87,10 @@ def parse_args(argv=None) -> SRConfig:
         resume=not a.no_resume, use_pallas=a.use_pallas,
         vgg_weights_path=a.vgg_weights_path,
         pretrain_epochs=a.pretrain_epochs,
+        scale_factors=tuple(a.multi_scale) if a.multi_scale else (),
+        steps_per_dispatch=a.steps_per_dispatch,
     )
-    return check_args(cfg), a.eval_only
+    return check_args(cfg), (a.eval_only, a.fast_eval)
 
 
 def check_args(cfg: SRConfig) -> SRConfig:
@@ -106,16 +115,19 @@ def build_pipeline(cfg: SRConfig, spec) -> PatchPipeline:
     return build_patch_pipeline(cfg, spec, images)
 
 
-def run_eval(cfg: SRConfig, spec, predict_fn, out_dir: str, log=print) -> dict:
+def run_eval(cfg: SRConfig, spec, predict_fn, out_dir: str, log=print,
+             fast: bool = False) -> dict:
     color = "rgb" if cfg.num_channels == 3 else "ycbcr"
     test_set = get_test_set(cfg.data_dir, cfg.test_dataset, color)
     res = evaluate(
         predict_fn, test_set, cfg.scale_factor, channels=cfg.num_channels,
         pre_upsample=spec.pre_upsample, dataset_name=cfg.test_dataset,
-        keep_images=True,
+        keep_images=not fast, on_device_metrics=fast,
         color_space="rgb" if cfg.test_dataset.lower() == "synthetic" else color,
     )
     for r in res.images:
+        if r.sr is None:
+            continue  # fast mode: metrics only
         cs = "rgb" if cfg.test_dataset.lower() == "synthetic" else color
         save_img(r.sr, os.path.join(out_dir, "images", f"{r.name}_sr.png"), cs)
         plot_test_result(
@@ -152,7 +164,7 @@ def _make_sample_hook(cfg: SRConfig, run_dir: str, predict, batch):
 
 
 def main(argv=None) -> int:
-    cfg, eval_only = parse_args(argv)
+    cfg, (eval_only, fast_eval) = parse_args(argv)
     spec = get_spec(cfg.model_name)
     run_dir = _run_dir(cfg)
     jsonl = JSONLLogger(os.path.join(run_dir, "metrics.jsonl"))
@@ -245,7 +257,7 @@ def main(argv=None) -> int:
             save_params(os.path.join(run_dir, f"{cfg.model_name}_params.npz"),
                         state.params, state.batch_stats)
 
-    summary = run_eval(cfg, spec, predict, run_dir, log=print)
+    summary = run_eval(cfg, spec, predict, run_dir, log=print, fast=fast_eval)
     jsonl({"event": "eval", **summary})
     jsonl.close()
     ck.close()

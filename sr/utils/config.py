@@ -20,6 +20,9 @@ class SRConfig:
     model_name: str = "SRCNN"
     num_channels: int = 1
     scale_factor: int = 4
+    # multi-scale training for pre-upsample models (VDSR/DRCN): one net
+    # trained on a mix of these factors (empty = single scale_factor)
+    scale_factors: tuple = ()
     crop_size: int = 128
     num_epochs: int = 100
     save_epochs: int = 10

@@ -7,7 +7,7 @@ from sr.utils.config import SRConfig
 
 
 def test_reference_flags_parse():
-    cfg, eval_only = parse_args([
+    cfg, (eval_only, _) = parse_args([
         "--model_name", "ESPCN", "--scale_factor", "2", "--crop_size", "64",
         "--num_epochs", "5", "--batch_size", "16", "--lr", "0.001",
         "--train_dataset", "bsds300", "--test_dataset", "Set5",
@@ -38,7 +38,7 @@ def test_check_args_rejects_bad_epochs():
 
 
 def test_eval_only_flag():
-    _, eval_only = parse_args(
+    _, (eval_only, _) = parse_args(
         ["--model_name", "ESPCN", "--eval_only", "--save_dir", "/tmp/s"]
     )
     assert eval_only is True
