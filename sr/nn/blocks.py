@@ -8,9 +8,19 @@ bfloat16-friendly dtypes and the pixel-shuffle lowered through
 sr/kernels/depth_to_space.
 
 Padding note: the reference picks torch (padding, output_padding) pairs
-that keep convs shape-preserving and deconvs exact-×stride; here those same
-geometries are expressed directly ('SAME' for convs, transpose-conv sized
-to n·stride), which is identical behavior without the torch bookkeeping.
+that keep convs shape-preserving and deconvs exact-×stride. Those exact
+geometries are reproduced here with explicit padding pairs:
+
+* ConvBlock ≡ torch ``Conv2d(padding=k//2)`` — for stride 1 this equals
+  XLA 'SAME'; for stride>1 'SAME' pads asymmetrically (0,1) while torch
+  pads (1,1), so the explicit pair is required for parity (verified
+  numerically in tests/test_torch_parity.py).
+* DeconvBlock ≡ torch ``ConvTranspose2d(padding=p, output_padding=2p-(k-s))``
+  with ``p=ceil((k-s)/2)`` — the standard exact-×stride transposed-conv
+  geometry (k=4,s=2 → p=1,op=0; k=9,s=4 → p=3,op=1). In
+  ``lax.conv_transpose``'s forward-conv padding convention that is
+  ``(k-1-p, s-1+p)``. Kernels are stored unflipped (flax convention);
+  the torch-equivalent weight is the spatially flipped kernel.
 """
 
 from __future__ import annotations
@@ -96,11 +106,12 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        p = self.kernel_size // 2  # torch Conv2d(padding=k//2) geometry
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=((p, p), (p, p)),
             use_bias=self.use_bias,
             kernel_init=get_kernel_init(self.kernel_init),
             dtype=self.dtype,
@@ -125,11 +136,17 @@ class DeconvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        k, s = self.kernel_size, self.stride
+        # torch ConvTranspose2d(padding=p, output_padding=2p-(k-s)) geometry,
+        # expressed in lax.conv_transpose's forward-conv padding convention
+        # (left crop from the full output = k-1-lo); see module docstring.
+        p = -(-(k - s) // 2)
+        lo, hi = k - 1 - p, s - 1 + p
         x = nn.ConvTranspose(
             self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding="SAME",
+            (k, k),
+            strides=(s, s),
+            padding=((lo, hi), (lo, hi)),
             use_bias=self.use_bias,
             kernel_init=get_kernel_init(self.kernel_init),
             dtype=self.dtype,
