@@ -225,16 +225,23 @@ class SRGAN(ModelWrapper):
         b0 = pipe(rng)
         g, d = self.gan.init_states(rng, b0["lr"][:1], b0["hr"][:1])
         ck = Checkpointer(self._ckpt_dir(), keep=cfg.keep_checkpoints)
+        # mirror sr/main.py: D gets its own checkpointer so a resumed run
+        # continues against the trained discriminator, not a fresh one
+        ck_d = Checkpointer(self._ckpt_dir() + "_d", keep=cfg.keep_checkpoints)
         if cfg.resume:
             restored = ck.restore(g)
             if restored is not None:
                 g = restored
+                restored_d = ck_d.restore(d)
+                if restored_d is not None:
+                    d = restored_d
         losses = []
         g, d = self.gan.fit(
-            g, d, pipe, checkpointer=ck,
+            g, d, pipe, checkpointer=ck, d_checkpointer=ck_d,
             log_cb=lambda rec: losses.append(rec.get("g_loss", rec.get("g_content_loss"))),
         )
         self.state = g
         self.save_model()
         ck.close()
+        ck_d.close()
         return losses

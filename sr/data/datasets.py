@@ -52,7 +52,9 @@ def download_bsds300(dest: str) -> str:
                 "Provide the dataset manually or use --train_dataset synthetic."
             ) from e
     with tarfile.open(archive) as tar:
-        tar.extractall(dest)  # noqa: S202
+        # filter='data' rejects path traversal / links from a tampered
+        # archive (the upstream URL is plain HTTP)
+        tar.extractall(dest, filter="data")
     os.remove(archive)
     return output_dir
 

@@ -5,9 +5,10 @@ full images at batch 1 and hopes they fit. Two TPU-native strategies:
 
   * :func:`tiled_predict` — split the LR image into overlapping tiles
     (halo = the network's receptive field), run each tile, crop the halo
-    from the outputs and stitch. Overlap tiles are batched into ONE
-    device call (static shapes, one compile) — bounded memory for
-    arbitrarily large images, exact equality with the full-image forward
+    from the outputs and stitch. Tiles are processed in fixed-size
+    batches of ``max_tiles_per_call`` (static shapes, one compile) —
+    activation memory is bounded by the chunk size regardless of image
+    area, and the result is exactly equal to the full-image forward
     when ``halo ≥ receptive field``.
 
   * :func:`sharded_predict` — shard the image rows across the mesh's
@@ -19,6 +20,7 @@ full images at batch 1 and hopes they fit. Two TPU-native strategies:
 from __future__ import annotations
 
 import math
+import weakref
 
 import jax
 import jax.numpy as jnp
@@ -44,12 +46,16 @@ def tiled_predict(
     scale_factor: int,
     tile: int = 128,
     halo: int = 32,
+    max_tiles_per_call: int = 16,
 ):
     """Run ``predict_fn`` over overlapping tiles of NHWC ``x`` and stitch.
 
     ``x``: (1, H, W, C) LR input (pre-upsample models: pass the upsampled
-    input with scale_factor=1). All tiles share one static window shape →
-    one compilation, one batched call.
+    input with scale_factor=1). All tiles share one static window shape,
+    and every device call carries exactly ``max_tiles_per_call`` tiles
+    (the last chunk is padded by repeating its final tile) → ONE
+    compilation and activation memory bounded by the chunk, independent
+    of image area.
 
     Windows are CLAMPED to the image (flush at the edges, never padded):
     an output pixel's receptive field either lies over real pixels inside
@@ -68,7 +74,7 @@ def tiled_predict(
         return predict_fn(x)
 
     ny, nx = math.ceil(h / tile), math.ceil(w / tile)
-    tiles, crops = [], []
+    slices, crops = [], []
     for iy in range(ny):
         y0 = iy * tile
         y1 = min(y0 + tile, h)
@@ -77,12 +83,23 @@ def tiled_predict(
             x0 = ix * tile
             x1 = min(x0 + tile, w)
             sx = min(max(x0 - halo, 0), w - win_w)
-            tiles.append(
-                jax.lax.dynamic_slice(x, (0, sy, sx, 0), (1, win_h, win_w, c))
-            )
+            slices.append((sy, sx))
             crops.append((y0 - sy, x0 - sx, y1 - y0, x1 - x0))
-    batch = jnp.concatenate(tiles, axis=0)  # (ny·nx, win_h, win_w, c)
-    out = predict_fn(batch)
+
+    n = len(slices)
+    chunk = max(1, min(max_tiles_per_call, n))
+    outs = []
+    for start in range(0, n, chunk):
+        group = slices[start : start + chunk]
+        tiles = [
+            jax.lax.dynamic_slice(x, (0, sy, sx, 0), (1, win_h, win_w, c))
+            for sy, sx in group
+        ]
+        # keep every call at the same static batch shape (one compile)
+        tiles.extend([tiles[-1]] * (chunk - len(group)))
+        out = predict_fn(jnp.concatenate(tiles, axis=0))
+        outs.extend(out[i] for i in range(len(group)))
+
     rows = []
     for iy in range(ny):
         row = []
@@ -90,13 +107,16 @@ def tiled_predict(
             k = iy * nx + ix
             oy, ox, th, tw = crops[k]
             row.append(
-                out[k, oy * r : (oy + th) * r, ox * r : (ox + tw) * r, :]
+                outs[k][oy * r : (oy + th) * r, ox * r : (ox + tw) * r, :]
             )
         rows.append(jnp.concatenate(row, axis=1))
     return jnp.concatenate(rows, axis=0)[None]
 
 
-_SHARDED_CACHE: dict = {}
+# jitted sharded closures keyed WEAKLY on predict_fn — entries die with the
+# fn (no id() reuse after GC, no unbounded growth); the per-fn dict is tiny
+# (one entry per (mesh, axis) actually used with that fn)
+_SHARDED_CACHE = weakref.WeakKeyDictionary()
 
 
 def sharded_predict(predict_fn, x: jax.Array, mesh, axis: str = "spatial"):
@@ -105,13 +125,15 @@ def sharded_predict(predict_fn, x: jax.Array, mesh, axis: str = "spatial"):
     ``predict_fn`` must be jittable; the sharding constraint on the input
     rows makes XLA partition every conv spatially and insert the halo
     exchanges over ICI. The jitted closure is cached per
-    (predict_fn, mesh, axis) so repeated calls (dataset eval) don't
-    re-trace — shape-keyed compilation then behaves like any jit.
+    (predict_fn, mesh, axis) — weakly on predict_fn, so entries are
+    evicted when the fn is garbage collected — and repeated calls
+    (dataset eval) don't re-trace; shape-keyed compilation then behaves
+    like any jit.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    key = (id(predict_fn), mesh, axis)
-    run = _SHARDED_CACHE.get(key)
+    per_fn = _SHARDED_CACHE.setdefault(predict_fn, {})
+    run = per_fn.get((mesh, axis))
     if run is None:
         sh = NamedSharding(mesh, P(None, axis))
 
@@ -121,5 +143,5 @@ def sharded_predict(predict_fn, x: jax.Array, mesh, axis: str = "spatial"):
             out = predict_fn(x)
             return jax.lax.with_sharding_constraint(out, sh)
 
-        _SHARDED_CACHE[key] = run
+        per_fn[(mesh, axis)] = run
     return run(x)

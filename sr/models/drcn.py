@@ -24,6 +24,20 @@ from sr.train.losses import recursive_supervision_loss
 from sr.train.optim import adam
 
 
+class _RecStep(nn.Module):
+    """One recursion of the shared inference conv (scanned body)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, _):
+        h = nn.relu(
+            nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(h)
+        )
+        return h, h  # (carry, stacked per-recursion state)
+
+
 class Net(nn.Module):
     num_channels: int = 1
     base_filter: int = 64  # paper uses 256; collection-scale default 64
@@ -38,21 +52,27 @@ class Net(nn.Module):
         h = ConvBlock(f, 3, act="relu", dtype=self.dtype)(x, train)
         h = ConvBlock(f, 3, act="relu", dtype=self.dtype)(h, train)
 
-        # inference net: one shared conv applied D times (weight sharing
-        # is what makes it "recursive" — same flax module instance)
-        rec_conv = nn.Conv(f, (3, 3), padding="SAME", dtype=self.dtype)
-        # reconstruction net (shared across recursion outputs)
+        # inference net: ONE shared conv applied D times as a lax.scan —
+        # params broadcast across iterations (weight sharing), one
+        # compiled body regardless of depth
+        scan = nn.scan(
+            _RecStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=self.num_recursions,
+        )
+        _, states = scan(f, self.dtype)(h, None)  # (D, B, H, W, C)
+
+        # reconstruction net (shared across recursion outputs): fold the
+        # recursion axis into the batch so the convs run once on a
+        # D×-larger batch instead of D separate dispatches
         recon1 = ConvBlock(f, 3, act="relu", dtype=self.dtype)
         recon2 = nn.Conv(self.num_channels, (3, 3), padding="SAME", dtype=self.dtype)
-
-        states = []
-        for _ in range(self.num_recursions):
-            h = nn.relu(rec_conv(h))
-            states.append(h)
+        d, b, hh, ww, cc = states.shape
+        flat = states.reshape(d * b, hh, ww, cc)
+        preds = recon2(recon1(flat, train))
         # per-recursion predictions (residual to the pre-upsampled input)
-        ys = jnp.stack(
-            [recon2(recon1(s, train)) + inp for s in states], axis=0
-        )  # (D, B, H, W, C)
+        ys = preds.reshape(d, b, *preds.shape[1:]) + inp[None]  # (D,B,H,W,C)
 
         # learnable ensemble weights, normalized to sum 1
         w = self.param(

@@ -50,20 +50,36 @@ def _loss(out, batch, ctx):
     return mse_loss(out, batch["hr"]), {}
 
 
+def _label_lr_groups(params):
+    """'deconv' for every top-level subtree that contains a transposed
+    conv, 'base' otherwise. Structural (inspects the actual param tree
+    for flax's ``nn.ConvTranspose`` auto-name) rather than keyed on our
+    own block class name, so renaming DeconvBlock cannot silently move
+    the tail into the wrong LR group (tests/test_optim.py locks this)."""
+    from flax.traverse_util import flatten_dict
+
+    def has_transpose(subtree):
+        if not isinstance(subtree, dict):
+            return False
+        return any(
+            any(part.startswith("ConvTranspose") for part in path)
+            for path in flatten_dict(subtree)
+        )
+
+    return {
+        k: ("deconv" if has_transpose(v) else "base")
+        for k, v in params.items()
+    }
+
+
 def _make_tx(cfg):
     # the deconv tail trains at 0.1× the base LR (Dong et al. ECCV'16
     # §4.2; reference: fsrcnn.py optimizer param groups)
     import optax
 
-    def label(params):
-        return {
-            k: ("deconv" if "DeconvBlock" in k else "base")
-            for k in params
-        }
-
     base = cfg.effective_lr
     return optax.multi_transform(
-        {"base": adam(base), "deconv": adam(base * 0.1)}, label
+        {"base": adam(base), "deconv": adam(base * 0.1)}, _label_lr_groups
     )
 
 
