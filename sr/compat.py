@@ -119,6 +119,8 @@ class ModelWrapper:
             lambda x: predict_jit(params, bs, x), test_set, cfg.scale_factor,
             channels=cfg.num_channels, pre_upsample=self.spec.pre_upsample,
             dataset_name=cfg.test_dataset, keep_images=True, color_space=cs,
+            static_shapes=cfg.test_dataset.lower() != "synthetic",
+            model_name=cfg.model_name,
         )
         out = self._run_dir()
         for r in res.images:

@@ -113,6 +113,9 @@ def evaluate(
     keep_images: bool = False,
     color_space: str = "ycbcr",
     on_device_metrics: bool = False,
+    static_shapes: bool = False,
+    tile: int = 96,
+    model_name: str = "",
 ) -> EvalResult:
     """Run the harness over a FolderDataset/SyntheticDataset.
 
@@ -122,10 +125,32 @@ def evaluate(
     ``on_device_metrics`` computes the SR PSNR on device and transfers
     only the scalar (use when D2H bandwidth is the bottleneck; implies
     the SR image itself is only fetched when ``keep_images``).
+
+    ``static_shapes`` routes every image through exact halo-tiled
+    inference with ONE fixed window/batch shape, so a mixed-size dataset
+    (real Set5/Set14 — every image a different size) costs O(1) jit
+    compiles instead of one 40–200 s remote compile per image (SURVEY §7
+    hard part 6). Numerically identical to the direct forward because the
+    halo covers the model's receptive field (``model_name`` selects it
+    from sr.eval.tiling.RECEPTIVE_FIELD). Images smaller than the window
+    (tile + 2·halo) fall back to a native-size forward.
     """
     r = scale_factor
     border = r if shave_border is None else shave_border
     res = EvalResult(dataset_name or getattr(dataset, "name", "test"), r)
+
+    if static_shapes:
+        from sr.eval.tiling import RECEPTIVE_FIELD, tiled_predict
+
+        halo = RECEPTIVE_FIELD.get(model_name.lower(), 48)
+        net_scale = 1 if pre_upsample else scale_factor
+        inner_fn = predict_fn
+
+        def predict_fn(x, _inner=inner_fn, _halo=halo, _scale=net_scale):
+            return tiled_predict(
+                _inner, x, _scale, tile=tile, halo=_halo,
+                max_tiles_per_call=8, fixed_chunk=True,
+            )
 
     names = dataset.names
     for i in range(len(dataset)):

@@ -47,15 +47,21 @@ def tiled_predict(
     tile: int = 128,
     halo: int = 32,
     max_tiles_per_call: int = 16,
+    fixed_chunk: bool = False,
 ):
     """Run ``predict_fn`` over overlapping tiles of NHWC ``x`` and stitch.
 
     ``x``: (1, H, W, C) LR input (pre-upsample models: pass the upsampled
     input with scale_factor=1). All tiles share one static window shape,
-    and every device call carries exactly ``max_tiles_per_call`` tiles
+    and every device call carries at most ``max_tiles_per_call`` tiles
     (the last chunk is padded by repeating its final tile) → ONE
     compilation and activation memory bounded by the chunk, independent
     of image area.
+
+    ``fixed_chunk``: pad EVERY call to exactly ``max_tiles_per_call``
+    tiles, so images with different tile counts share one compiled batch
+    shape (the shape-bucketed eval path — O(1) compiles for a whole
+    mixed-size dataset, as long as every image is at least window-sized).
 
     Windows are CLAMPED to the image (flush at the edges, never padded):
     an output pixel's receptive field either lies over real pixels inside
@@ -87,7 +93,7 @@ def tiled_predict(
             crops.append((y0 - sy, x0 - sx, y1 - y0, x1 - x0))
 
     n = len(slices)
-    chunk = max(1, min(max_tiles_per_call, n))
+    chunk = max_tiles_per_call if fixed_chunk else max(1, min(max_tiles_per_call, n))
     outs = []
     for start in range(0, n, chunk):
         group = slices[start : start + chunk]

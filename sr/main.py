@@ -119,11 +119,15 @@ def run_eval(cfg: SRConfig, spec, predict_fn, out_dir: str, log=print,
              fast: bool = False) -> dict:
     color = "rgb" if cfg.num_channels == 3 else "ycbcr"
     test_set = get_test_set(cfg.data_dir, cfg.test_dataset, color)
+    # real datasets have a distinct size per image — bucket them into one
+    # static tiled shape (synthetic is fixed-size; direct forward is fine)
+    static = cfg.test_dataset.lower() != "synthetic"
     res = evaluate(
         predict_fn, test_set, cfg.scale_factor, channels=cfg.num_channels,
         pre_upsample=spec.pre_upsample, dataset_name=cfg.test_dataset,
         keep_images=not fast, on_device_metrics=fast,
         color_space="rgb" if cfg.test_dataset.lower() == "synthetic" else color,
+        static_shapes=static, model_name=cfg.model_name,
     )
     for r in res.images:
         if r.sr is None:

@@ -81,6 +81,64 @@ def test_on_device_metrics_match_host():
         assert abs(a.psnr_sr - b.psnr_sr) < 1e-2, (a.psnr_sr, b.psnr_sr)
 
 
+class _MixedSizeDataset:
+    """Every image a different size — the real Set5/Set14 shape profile."""
+
+    def __init__(self, sizes, channels=1, seed=0):
+        rng = np.random.default_rng(seed)
+        self.imgs = [
+            rng.integers(0, 256, (h, w, channels), dtype=np.uint8)
+            for h, w in sizes
+        ]
+        self.names = [f"img{i}" for i in range(len(self.imgs))]
+
+    def __len__(self):
+        return len(self.imgs)
+
+    def __getitem__(self, i):
+        return self.imgs[i]
+
+
+def test_static_shapes_bucketed_eval():
+    """Mixed-size dataset: static_shapes costs O(1) traces and scores the
+    same PSNR as the per-size path (SURVEY §7 hard part 6)."""
+    import jax
+
+    from sr.models.registry import get_spec
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="ESPCN", scale_factor=2, num_channels=1,
+                   dtype="float32")
+    model = get_spec("ESPCN").make_model(cfg)
+    variables = model.init(
+        jax.random.key(0), np.zeros((1, 8, 8, 1), np.float32), train=False
+    )
+
+    def make_counting_fn():
+        traces = []
+
+        @jax.jit
+        def fn(x):
+            traces.append(x.shape)
+            return model.apply(variables, x, train=False)
+
+        return fn, traces
+
+    ds = _MixedSizeDataset([(128, 128), (144, 120), (120, 160)])
+
+    fn_plain, traces_plain = make_counting_fn()
+    base = evaluate(fn_plain, ds, 2, channels=1, pre_upsample=False)
+    assert len(set(traces_plain)) == 3  # one compile per distinct size
+
+    fn_static, traces_static = make_counting_fn()
+    res = evaluate(fn_static, ds, 2, channels=1, pre_upsample=False,
+                   static_shapes=True, tile=48, model_name="ESPCN")
+    assert len(set(traces_static)) <= 2, traces_static
+    for a, b in zip(base.images, res.images):
+        assert abs(a.psnr_sr - b.psnr_sr) < 1e-2, (a.psnr_sr, b.psnr_sr)
+        assert a.psnr_bicubic == b.psnr_bicubic
+
+
 def test_panels_and_logging(tmp_path):
     ds = SyntheticDataset(num_images=1, size=(32, 32), channels=3)
     hr = ds[0]
