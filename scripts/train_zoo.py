@@ -22,7 +22,7 @@ import numpy as np
 
 
 def run_one(name: str, steps: int, train_ds: str, test_ds: str,
-            spd: int = 1, corpus: int = 0) -> dict:
+            spd: int = 1, corpus: int = 0, vgg: str | None = None) -> dict:
     from sr.data.datasets import get_training_set
     from sr.data.pipeline import build_patch_pipeline
     from sr.eval.runner import evaluate
@@ -38,6 +38,10 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
         train_dataset=train_ds, test_dataset=test_ds,
         pretrain_epochs=max(1, steps // min(steps, 200) // 3),
         steps_per_dispatch=spd,  # scan-fused trainer (non-GAN models)
+        vgg_weights_path=vgg if spec.is_gan else None,
+        # phi_22 keeps random/synthetic towers numerically alive (deep
+        # random towers decay to ~0 features); real weights work at either
+        vgg_output_layer="relu2_2" if vgg else "relu5_4",
     )
     if corpus and train_ds == "synthetic":
         from sr.data.datasets import SyntheticDataset
@@ -100,6 +104,9 @@ def main():
     p.add_argument("--test_dataset", default="synthetic")
     p.add_argument("--out", default="results_zoo.json")
     p.add_argument("--models", nargs="*", default=None)
+    p.add_argument("--vgg", default=None,
+                   help="VGG19 .pth for the SRGAN perceptual term "
+                        "(see scripts/make_synthetic_vgg.py), or 'random'")
     a = p.parse_args()
 
     from sr.models.registry import available_models
@@ -110,7 +117,7 @@ def main():
         try:
             results.append(
                 run_one(name, a.steps, a.train_dataset, a.test_dataset,
-                        a.spd, a.corpus)
+                        a.spd, a.corpus, a.vgg)
             )
         except Exception as e:  # noqa: BLE001
             print(f"[zoo] {name} FAILED: {e}", file=sys.stderr, flush=True)

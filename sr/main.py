@@ -168,6 +168,16 @@ def _make_sample_hook(cfg: SRConfig, run_dir: str, predict, batch):
 
 
 def main(argv=None) -> int:
+    # multi-host bootstrap (no-op unless SR_COORDINATOR/SR_MULTIHOST is
+    # set — see sr/parallel/multihost.py); must run before backend init
+    from sr.parallel.multihost import initialize_multihost
+
+    if initialize_multihost():
+        import jax as _jax
+
+        print(f"[multihost] process {_jax.process_index()}/"
+              f"{_jax.process_count()}")
+
     cfg, (eval_only, fast_eval) = parse_args(argv)
     spec = get_spec(cfg.model_name)
     run_dir = _run_dir(cfg)

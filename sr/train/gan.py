@@ -43,7 +43,9 @@ class GANTrainer:
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh_shape, cfg.mesh_axes)
         self._repl = replicated_sharding(self.mesh)
         self._bsh = batch_sharding(self.mesh)
-        self.vgg_model, self.vgg_params = load_vgg(cfg.vgg_weights_path)
+        self.vgg_model, self.vgg_params = load_vgg(
+            cfg.vgg_weights_path, output_layer=cfg.vgg_output_layer
+        )
         self._pre_fn = None
         self._adv_fn = None
         self._predict = None

@@ -47,6 +47,7 @@ class SRConfig:
     vgg_loss_weight: float = 6e-3
     adv_loss_weight: float = 1e-3
     vgg_weights_path: str | None = None  # torchvision vgg19 state_dict (.pth)
+    vgg_output_layer: str = "relu5_4"  # phi_54 (paper final); phi_22 = relu2_2
 
     # -- TPU / runtime ------------------------------------------------------
     dtype: str = "bfloat16"  # compute dtype; params stay float32
