@@ -1,0 +1,120 @@
+"""Fold a conv THROUGH a preceding pixel-shuffle (phase decomposition).
+
+The exact-graph upsampling tails run [conv → depth_to_space → (act) →
+conv] chains (reference: base_networks.py:PSBlock stacks in
+srgan.py/edsr.py Nets). The conv AFTER the shuffle is the expensive
+part: it runs at r²× the pixels, and the FINAL conv of a tail has tiny
+output width (N=3 RGB) — worst-case MXU lane utilization.
+
+This module rewrites ``conv2d(depth_to_space(x, r), W)`` as
+``depth_to_space(conv2d(x, W_folded), r)`` — the SAME function (exact,
+borders included), but the conv now runs in PRE-shuffle layout:
+
+  * r²× fewer rows (output pixels), r²× more channels — contraction and
+    output widths multiply by r², turning lane-starved matmuls
+    (N=3 → N=3r²) into MXU-shaped ones;
+  * the intermediate post-shuffle tensor is never materialized at the
+    upsampled resolution between the two ops.
+
+Derivation: with output phase (α,β) ∈ r², post-conv tap (dy,dx), and
+p the post-conv's padding (torch k//2 geometry):
+
+  ay = α + dy - p  →  δy = floor(ay/r)  (pre-pixel offset),
+                       iy = ay mod r     (phase row inside that pre-pixel)
+
+  out_pre[y, x, n·r² + α·r + β]
+      = Σ W[dy,dx,c,n] · x[y+δy, x+δx, c·r² + iy·r + ix]
+
+so the folded kernel W_f has spatial taps δ ∈ [floor(-p/r),
+floor((r-1+k-1-p)/r)] and channel map (c,iy,ix) → c·r²+iy·r+ix (torch
+PixelShuffle order, matching sr/kernels/depth_to_space). W_f is
+phase-block-sparse (each output phase reads only the taps its window
+touches); the MXU computes it dense, which trades ≤(T·r/k)² more FLOPs
+for full lane utilization — a win exactly when the original N is small
+(measurements in PERF.md).
+
+The elementwise activations between shuffle and conv (SRResNet's PReLU
+with a single shared slope) commute with the shuffle, so chains fold as
+act-then-d2s_conv.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sr.kernels.depth_to_space import depth_to_space
+
+
+def fold_shuffle_conv_kernel(
+    kernel, r: int, padding: int | None = None
+):
+    """(k,k,C,N) post-shuffle conv kernel → (T,T,C·r²,N·r²) pre-shuffle.
+
+    ``padding``: the post-conv's symmetric padding (default k//2 — the
+    torch ``Conv2d(padding=k//2)`` geometry used across sr.nn.blocks).
+    Returns ``(folded_kernel, delta_min)``; the folded conv needs input
+    zero-padding of ``-delta_min`` before / ``T-1+delta_min`` after each
+    spatial dim to reproduce the post-conv's zero padding exactly.
+    """
+    kernel = np.asarray(kernel)
+    k, k2, c, n = kernel.shape
+    assert k == k2, "square kernels only"
+    p = k // 2 if padding is None else padding
+
+    dmin = (0 - p) // r  # python floor division (negatives included)
+    dmax = (r - 1 + k - 1 - p) // r
+    t = dmax - dmin + 1
+
+    wf = np.zeros((t, t, c * r * r, n * r * r), kernel.dtype)
+    for alpha in range(r):
+        for dy in range(k):
+            ay = alpha + dy - p
+            delta_y, iy = ay // r, ay % r
+            for beta in range(r):
+                for dx in range(k):
+                    ax = beta + dx - p
+                    delta_x, ix = ax // r, ax % r
+                    wf[
+                        delta_y - dmin,
+                        delta_x - dmin,
+                        iy * r + ix :: r * r,  # c·r² + iy·r + ix over c
+                        alpha * r + beta :: r * r,  # n·r² + α·r + β over n
+                    ] += kernel[dy, dx]
+    return wf, dmin
+
+
+def fold_bias(bias, r: int):
+    """(N,) post-conv bias → (N·r²,) folded-conv bias (replicated)."""
+    return np.repeat(np.asarray(bias), r * r)
+
+
+def d2s_conv(
+    x: jax.Array,
+    kernel,
+    r: int,
+    bias=None,
+    padding: int | None = None,
+) -> jax.Array:
+    """``conv2d(depth_to_space(x, r), kernel) [+ bias]`` computed in
+    pre-shuffle layout. Exact (borders included): zero-padding pre-shuffle
+    pixels is zero-padding post-shuffle pixels under the shuffle.
+
+    x: (B, H, W, C·r²); kernel: (k, k, C, N) with torch k//2 padding by
+    default. Returns (B, H·r, W·r, N).
+    """
+    wf, dmin = fold_shuffle_conv_kernel(kernel, r, padding)
+    t = wf.shape[0]
+    pad_lo, pad_hi = -dmin, t - 1 + dmin
+    y = jax.lax.conv_general_dilated(
+        x,
+        jnp.asarray(wf, x.dtype),
+        window_strides=(1, 1),
+        padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + jnp.asarray(fold_bias(bias, r), y.dtype)
+    return depth_to_space(y, r)

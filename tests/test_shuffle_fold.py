@@ -1,0 +1,73 @@
+"""shuffle_fold: conv-through-pixel-shuffle phase folding is exact."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sr.kernels.depth_to_space import depth_to_space
+from sr.kernels.shuffle_fold import (
+    d2s_conv,
+    fold_bias,
+    fold_shuffle_conv_kernel,
+)
+
+
+def _conv(x, w, p):
+    return jax.lax.conv_general_dilated(
+        x, jnp.asarray(w), (1, 1), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@pytest.mark.parametrize(
+    "r,k,c,n", [(2, 3, 4, 5), (2, 9, 2, 3), (4, 3, 3, 2), (4, 9, 2, 3), (3, 3, 2, 2)]
+)
+def test_d2s_conv_matches_composition(r, k, c, n):
+    rng = np.random.default_rng(r * 100 + k)
+    x = jnp.asarray(rng.standard_normal((2, 6, 7, c * r * r)), jnp.float32)
+    w = rng.standard_normal((k, k, c, n)).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    ref = _conv(depth_to_space(x, r), w, k // 2) + b
+    got = d2s_conv(x, w, r, bias=b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_fold_is_composable_across_nested_shuffles():
+    """Folding twice moves a conv through d2s(2)∘d2s(2) (the ×4 tail
+    structure of SRResNet/EDSR) exactly."""
+    rng = np.random.default_rng(0)
+    c, n, k = 2, 3, 9
+    x = jnp.asarray(rng.standard_normal((1, 5, 6, c * 16)), jnp.float32)
+    w = rng.standard_normal((k, k, c, n)).astype(np.float32)
+
+    ref = _conv(depth_to_space(depth_to_space(x, 2), 2), w, k // 2)
+
+    w1, dmin1 = fold_shuffle_conv_kernel(w, 2)  # through the inner d2s
+    t1 = w1.shape[0]
+    assert -dmin1 == t1 - 1 + dmin1, "odd-k fold stays symmetric"
+    w2, dmin2 = fold_shuffle_conv_kernel(w1, 2, padding=-dmin1)
+    t2 = w2.shape[0]
+    y = _conv(x, w2, -dmin2)
+    assert -dmin2 == t2 - 1 + dmin2
+    got = depth_to_space(depth_to_space(y, 2), 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_fold_bias_replication():
+    b = np.array([1.0, 2.0], np.float32)
+    np.testing.assert_array_equal(
+        fold_bias(b, 2), [1, 1, 1, 1, 2, 2, 2, 2]
+    )
+
+
+def test_folded_kernel_flop_accounting():
+    """T (tap count) matches the derivation: T = dmax - dmin + 1 with
+    dmin=floor(-p/r), dmax=floor((r-1+k-1-p)/r)."""
+    for r, k in [(2, 3), (2, 9), (4, 9), (4, 3)]:
+        w = np.zeros((k, k, 1, 1), np.float32)
+        wf, dmin = fold_shuffle_conv_kernel(w, r)
+        p = k // 2
+        assert dmin == (0 - p) // r
+        assert wf.shape[0] == (r - 1 + k - 1 - p) // r - dmin + 1
+        assert wf.shape[2] == r * r and wf.shape[3] == r * r
