@@ -42,9 +42,17 @@ def _load(model_name: str, params_path: str, params_mtime: float,
         variables["batch_stats"] = batch_stats
 
     if fused and hasattr(model, "tail"):
-        from sr.kernels.fused_tail import make_fused_tail_predict
+        try:
+            # affine tails (EDSR) collapse to one conv (interior-exact)
+            from sr.kernels.fused_tail import make_fused_tail_predict
 
-        fn = make_fused_tail_predict(model, variables)
+            fn = make_fused_tail_predict(model, variables)
+        except ValueError:
+            # activation-bearing tails (SRResNet/SRGAN): fold the output
+            # conv through the last shuffle instead — fully exact
+            from sr.kernels.shuffle_fold import make_folded_tail_predict
+
+            fn = make_folded_tail_predict(model, variables)
     else:
         fn = jax.jit(lambda x: model.apply(variables, x, train=False))
     return spec, channels, fn

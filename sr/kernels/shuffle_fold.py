@@ -91,6 +91,61 @@ def fold_bias(bias, r: int):
     return np.repeat(np.asarray(bias), r * r)
 
 
+def make_folded_tail_predict(model, variables):
+    """Jitted SRResNet/SRGAN-generator forward with the 9×9 output conv
+    folded through the last pixel shuffle (sr/models/srresnet.py:Net).
+
+    EXACTLY equal to ``model.apply(variables, x, train=False)`` (borders
+    included): the fold is exact and the stage PReLUs (single shared
+    slope) commute with the shuffle. Unlike EDSR's affine-tail collapse
+    (sr/kernels/fused_tail.py), this works with the activations in the
+    tail — the output conv just runs at the previous stage's resolution
+    with r²× the channels instead of N=3 lanes at full resolution.
+    """
+    r_last = 2  # PS stages are ×2 each (sr/models/srresnet.py)
+    p = variables["params"]
+    n_stages = len([k for k in p if k.startswith("upsample_")])
+    stages = []
+    for i in range(n_stages):
+        blk = p[f"upsample_{i}"]
+        stages.append((
+            jnp.asarray(blk["Conv_0"]["kernel"], model.dtype),
+            jnp.asarray(blk["Conv_0"]["bias"], model.dtype),
+            jnp.asarray(blk["_NormAct_0"]["PReLU_0"]["slope"], jnp.float32),
+        ))
+    wf, dmin = fold_shuffle_conv_kernel(
+        np.asarray(p["out_conv"]["kernel"], np.float32), r_last
+    )
+    bf = fold_bias(np.asarray(p["out_conv"]["bias"], np.float32), r_last)
+    wf_j = jnp.asarray(wf, model.dtype)
+    bf_j = jnp.asarray(bf, jnp.float32)
+    pad = -dmin
+
+    def conv(x, w, b, padding):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), (padding, padding),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+
+    def prelu(x, slope):
+        s = slope.astype(x.dtype)
+        return jnp.where(x >= 0, x, x * s)
+
+    @jax.jit
+    def predict(x):
+        h = model.apply(variables, x, train=False, method="body")
+        for w, b, s in stages[:-1]:
+            h = prelu(depth_to_space(conv(h, w, b, (1, 1)), 2), s)
+        w, b, s = stages[-1]
+        # last stage stays in PRE-shuffle layout: PReLU commutes with the
+        # shuffle, and the output conv is folded through it
+        a = prelu(conv(h, w, b, (1, 1)), s)
+        z = conv(a, wf_j, bf_j.astype(a.dtype), (pad, pad))
+        return depth_to_space(z, r_last)
+
+    return predict
+
+
 def d2s_conv(
     x: jax.Array,
     kernel,

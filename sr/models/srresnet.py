@@ -36,30 +36,53 @@ class Net(nn.Module):
     scale_factor: int = 4
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        f = self.base_filter
-        x = nn.Conv(f, (9, 9), padding="SAME",
-                    kernel_init=nn.initializers.normal(0.02), dtype=self.dtype)(x)
-        x = PReLU()(x)
-        skip = x
-        for _ in range(self.num_resblocks):
-            x = ResnetBlock(
-                f, 3, act="prelu", norm="batch", kernel_init="normal_002",
-                dtype=self.dtype,
-            )(x, train)
-        x = nn.Conv(f, (3, 3), padding="SAME",
-                    kernel_init=nn.initializers.normal(0.02), dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=self.dtype)(x)
-        x = x + skip
+    def setup(self):
         assert self.scale_factor & (self.scale_factor - 1) == 0, "power-of-2 scale"
-        for _ in range(int(math.log2(self.scale_factor))):
-            x = PSBlock(f, 2, act="prelu", kernel_init="normal_002",
-                        dtype=self.dtype)(x, train)
-        x = nn.Conv(self.num_channels, (9, 9), padding="SAME",
-                    kernel_init=nn.initializers.normal(0.02), dtype=self.dtype)(x)
-        return x
+        f = self.base_filter
+        init = nn.initializers.normal(0.02)
+        self.head = nn.Conv(f, (9, 9), padding=((4, 4), (4, 4)),
+                            kernel_init=init, dtype=self.dtype)
+        self.head_act = PReLU()
+        self.blocks = [
+            ResnetBlock(f, 3, act="prelu", norm="batch",
+                        kernel_init="normal_002", dtype=self.dtype)
+            for _ in range(self.num_resblocks)
+        ]
+        self.body_conv = nn.Conv(f, (3, 3), padding=((1, 1), (1, 1)),
+                                 kernel_init=init, dtype=self.dtype)
+        self.body_bn = nn.BatchNorm(use_running_average=None, momentum=0.9,
+                                    dtype=self.dtype)
+        self.upsample = [
+            PSBlock(f, 2, act="prelu", kernel_init="normal_002",
+                    dtype=self.dtype)
+            for _ in range(int(math.log2(self.scale_factor)))
+        ]
+        self.out_conv = nn.Conv(self.num_channels, (9, 9),
+                                padding=((4, 4), (4, 4)),
+                                kernel_init=init, dtype=self.dtype)
+
+    def body(self, x, train: bool = False):
+        """Head + resblocks + conv-BN + global skip (all at LR res)."""
+        x = self.head_act(self.head(x))
+        skip = x
+        for blk in self.blocks:
+            x = blk(x, train)
+        x = self.body_bn(self.body_conv(x), use_running_average=not train)
+        return x + skip
+
+    def tail(self, x, train: bool = False):
+        """log2(r) × [conv → pixel-shuffle → PReLU] + 9×9 output conv.
+
+        NOT affine (PReLUs between stages — unlike EDSR's tail), so the
+        fused_tail collapse doesn't apply; the exact-equivalent fast path
+        folds the output conv through the last shuffle instead
+        (sr/kernels/shuffle_fold.py:make_folded_tail_predict)."""
+        for up in self.upsample:
+            x = up(x, train)
+        return self.out_conv(x)
+
+    def __call__(self, x, train: bool = False):
+        return self.tail(self.body(x, train), train)
 
 
 class Discriminator(nn.Module):

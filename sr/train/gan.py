@@ -129,11 +129,12 @@ class GANTrainer:
                 loss = loss + w_vgg * perceptual
                 metrics["g_vgg_loss"] = perceptual
             # adversarial term against the JUST-updated D (reference order),
-            # with D in TRAIN mode (batch-stat BN) as the reference runs it;
-            # the mutated batch_stats are discarded — only D's own update
-            # advances its running stats
+            # by default with D in TRAIN mode (batch-stat BN) as the
+            # reference runs it; mutated batch_stats are discarded — only
+            # D's own update advances its running stats
             logits, _ = _apply(
-                d_model, d_state.params, d_state.batch_stats, sr, True
+                d_model, d_state.params, d_state.batch_stats, sr,
+                self.cfg.adv_d_train_mode,
             )
             adv = bce_with_logits(logits, jnp.ones_like(logits))
             loss = loss + w_adv * adv

@@ -54,6 +54,25 @@ def test_fold_is_composable_across_nested_shuffles():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+def test_folded_tail_predict_equals_model():
+    """SRResNet with the folded output conv ≡ the exact forward,
+    borders included (NOT just the interior — unlike fused_tail)."""
+    from sr.kernels.shuffle_fold import make_folded_tail_predict
+    from sr.models.registry import get_spec
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="SRResNet", num_channels=3, scale_factor=4,
+                   num_resblocks=2, dtype="float32")
+    model = get_spec("SRResNet").make_model(cfg)
+    x = jax.random.uniform(jax.random.key(0), (2, 12, 12, 3))
+    variables = model.init(jax.random.key(1), x, train=False)
+    exact = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    )
+    folded = np.asarray(make_folded_tail_predict(model, variables)(x))
+    np.testing.assert_allclose(folded, exact, atol=2e-5)
+
+
 def test_fold_bias_replication():
     b = np.array([1.0, 2.0], np.float32)
     np.testing.assert_array_equal(

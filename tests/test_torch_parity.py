@@ -172,9 +172,9 @@ def test_edsr_matches_torch():
 def test_srresnet_matches_torch():
     model, v, x = _setup("SRResNet", 3, 6, num_resblocks=2)
     tnet = tref.TorchSRResNet(blocks=2)
-    plan = [("Conv_0", "conv"), ("PReLU_0", "prelu")]
+    plan = [("head", "conv"), ("head_act", "prelu")]
     for i in range(2):
-        p = f"ResnetBlock_{i}"
+        p = f"blocks_{i}"
         plan += [
             (f"{p}/Conv_0", "conv"),
             (f"{p}/_NormAct_0/BatchNorm_0", "bn"),
@@ -182,10 +182,10 @@ def test_srresnet_matches_torch():
             (f"{p}/Conv_1", "conv"),
             (f"{p}/BatchNorm_0", "bn"),
         ]
-    plan += [("Conv_1", "conv"), ("BatchNorm_0", "bn")]
+    plan += [("body_conv", "conv"), ("body_bn", "bn")]
     for i in range(2):
-        plan += convblock_plan(f"PSBlock_{i}", act="prelu")
-    plan += [("Conv_2", "conv")]
+        plan += convblock_plan(f"upsample_{i}", act="prelu")
+    plan += [("out_conv", "conv")]
     transplant(v["params"], v["batch_stats"], plan, tnet)
     _compare(_flax_forward(model, v, x), _torch_forward(tnet, x))
 
