@@ -48,11 +48,14 @@ class SRConfig:
     adv_loss_weight: float = 1e-3
     vgg_weights_path: str | None = None  # torchvision vgg19 state_dict (.pth)
     vgg_output_layer: str = "relu5_4"  # phi_54 (paper final); phi_22 = relu2_2
-    # G's adversarial term evaluates D in train mode (batch-stat BN) —
-    # the reference's module state in that pass. False = eval-mode D
-    # (running stats), measured on the synthetic zoo as the
-    # higher-PSNR/more-stable variant (PERF.md / PARITY.md delta)
-    adv_d_train_mode: bool = True
+    # G's adversarial term: True evaluates D in train mode (batch-stat
+    # BN — the reference's module state in that pass); False (default)
+    # uses eval-mode D (running stats). A/B at 20k steps on the synthetic
+    # zoo: train-mode 20.84 dB vs eval-mode 25.35 dB — batch-stat BN over
+    # an all-fake batch normalizes away D's discrimination signal and
+    # over-drives the adversarial term. Documented delta (PARITY.md);
+    # set True for literal reference behavior.
+    adv_d_train_mode: bool = False
 
     # -- TPU / runtime ------------------------------------------------------
     dtype: str = "bfloat16"  # compute dtype; params stay float32
