@@ -12,7 +12,9 @@ Cases (EDSR/SRResNet ×4 tails, 128² body resolution, bf16):
   edsr-final:     3×3 conv 64→3 @512² (r=2 fold → 3×3 256→12 @256²)
   edsr-mid:       3×3 conv 64→256 @256² (r=2 fold → 3×3 256→1024 @128²)
 
-Usage: python scripts/bench_tail_fold.py   (prints one JSON line per case)
+Usage: python scripts/bench_tail_fold.py [B_SMALL B_LARGE] [--full]
+(prints one JSON line per case; --full additionally times the whole
+SRResNet forward exact-graph vs folded-tail)
 """
 
 from __future__ import annotations
@@ -24,7 +26,9 @@ import time
 
 sys.path.insert(0, ".")
 
-B_SMALL, B_LARGE, ITERS = 8, 16, 5
+B_SMALL, B_LARGE, ITERS = 16, 32, 5
+if len(sys.argv) >= 3 and sys.argv[1].isdigit():
+    B_SMALL, B_LARGE = int(sys.argv[1]), int(sys.argv[2])
 
 
 def _timed(fn, x, iters=ITERS):
@@ -100,6 +104,55 @@ def main() -> None:
             "speedup": round(t_e / t_f, 2),
             "folded_kernel": list(wf.shape),
         }), flush=True)
+
+    def summed(fn):
+        @jax.jit
+        def g(x):
+            return jnp.sum(fn(x).astype(jnp.float32))
+        return g
+
+    def run_full(model_name: str, lr_hw: int = 128):
+        """Whole ×4 forward: exact graph vs folded-tail (vs affine-fused
+        where the tail is activation-free)."""
+        from sr.kernels.shuffle_fold import make_folded_tail_predict
+        from sr.models.registry import get_spec
+        from sr.utils.config import SRConfig
+
+        cfg = SRConfig(model_name=model_name, num_channels=3,
+                       scale_factor=4, dtype="bfloat16")
+        model = get_spec(model_name).make_model(cfg)
+        x0 = jnp.zeros((1, lr_hw, lr_hw, 3), jnp.float32)
+        variables = jax.jit(
+            model.init, static_argnames=("train",)
+        )(jax.random.key(0), x0, train=False)
+
+        fns = {
+            "exact": jax.jit(lambda x: model.apply(variables, x, train=False)),
+            "folded": make_folded_tail_predict(model, variables),
+        }
+        try:
+            from sr.kernels.fused_tail import make_fused_tail_predict
+
+            fns["affine_fused"] = make_fused_tail_predict(model, variables)
+        except (ValueError, KeyError):
+            pass  # activation-bearing tail: affine collapse doesn't apply
+
+        key = jax.random.key(2)
+        make_x = functools.partial(
+            lambda b: jax.random.normal(
+                key, (b, lr_hw, lr_hw, 3), jnp.bfloat16))
+        out = {"case": f"full-{model_name.lower()}"}
+        for name, fn in fns.items():
+            out[f"{name}_ms_per_img"] = round(
+                _marginal(summed(fn), make_x) * 1e3, 3)
+        out["fold_speedup"] = round(
+            out["exact_ms_per_img"] / out["folded_ms_per_img"], 2)
+        print(json.dumps(out), flush=True)
+
+    if "--full" in sys.argv:
+        run_full("SRResNet")
+        run_full("EDSR")
+        return
 
     # (name, pre-shuffle HW, pre-shuffle channels, k, post C, N, r)
     run_case("srresnet-final", 256, 256, 9, 64, 3, 2)

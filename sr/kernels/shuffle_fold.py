@@ -92,31 +92,50 @@ def fold_bias(bias, r: int):
 
 
 def make_folded_tail_predict(model, variables):
-    """Jitted SRResNet/SRGAN-generator forward with the 9×9 output conv
-    folded through the last pixel shuffle (sr/models/srresnet.py:Net).
+    """Jitted forward with the output conv folded through the last pixel
+    shuffle. Works for both PSBlock-tailed zoo models:
+
+      * SRResNet/SRGAN generator (sr/models/srresnet.py:Net) — PReLU
+        after each stage; the single shared slope commutes with the
+        shuffle, so the fold stays exact;
+      * EDSR (sr/models/edsr.py:Net) — activation-free stages.
 
     EXACTLY equal to ``model.apply(variables, x, train=False)`` (borders
-    included): the fold is exact and the stage PReLUs (single shared
-    slope) commute with the shuffle. Unlike EDSR's affine-tail collapse
-    (sr/kernels/fused_tail.py), this works with the activations in the
-    tail — the output conv just runs at the previous stage's resolution
-    with r²× the channels instead of N=3 lanes at full resolution.
+    included — unlike EDSR's interior-exact affine collapse,
+    sr/kernels/fused_tail.py). The point is the final conv: its tiny
+    output width (N=3 RGB) at full output resolution gets a pathological
+    XLA lowering on TPU (measured ~6 ms/img for SRResNet's 9×9 @512² —
+    PERF.md "shuffle fold"); folded, it runs at the previous stage's
+    resolution with r²× the lanes.
     """
-    r_last = 2  # PS stages are ×2 each (sr/models/srresnet.py)
     p = variables["params"]
+    f = model.base_filter
     n_stages = len([k for k in p if k.startswith("upsample_")])
     stages = []
     for i in range(n_stages):
         blk = p[f"upsample_{i}"]
+        slope = None
+        na = blk.get("_NormAct_0")
+        if na is not None and "PReLU_0" in na:
+            slope = jnp.asarray(na["PReLU_0"]["slope"], jnp.float32)
+        kern = blk["Conv_0"]["kernel"]
+        r2 = kern.shape[-1] // f  # stage conv emits f·r² channels
+        r = int(round(r2 ** 0.5))
+        assert r * r * f == kern.shape[-1], (kern.shape, f)
         stages.append((
-            jnp.asarray(blk["Conv_0"]["kernel"], model.dtype),
+            jnp.asarray(kern, model.dtype),
             jnp.asarray(blk["Conv_0"]["bias"], model.dtype),
-            jnp.asarray(blk["_NormAct_0"]["PReLU_0"]["slope"], jnp.float32),
+            slope,
+            r,
         ))
+    r_last = stages[-1][3]
+    oc = p["out_conv"]
+    if "kernel" not in oc:  # ConvBlock wrapping (EDSR) vs bare nn.Conv
+        oc = oc["Conv_0"]
     wf, dmin = fold_shuffle_conv_kernel(
-        np.asarray(p["out_conv"]["kernel"], np.float32), r_last
+        np.asarray(oc["kernel"], np.float32), r_last
     )
-    bf = fold_bias(np.asarray(p["out_conv"]["bias"], np.float32), r_last)
+    bf = fold_bias(np.asarray(oc["bias"], np.float32), r_last)
     wf_j = jnp.asarray(wf, model.dtype)
     bf_j = jnp.asarray(bf, jnp.float32)
     pad = -dmin
@@ -127,19 +146,24 @@ def make_folded_tail_predict(model, variables):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + b
 
-    def prelu(x, slope):
+    def maybe_act(x, slope):
+        if slope is None:
+            return x
         s = slope.astype(x.dtype)
         return jnp.where(x >= 0, x, x * s)
 
     @jax.jit
     def predict(x):
         h = model.apply(variables, x, train=False, method="body")
-        for w, b, s in stages[:-1]:
-            h = prelu(depth_to_space(conv(h, w, b, (1, 1)), 2), s)
-        w, b, s = stages[-1]
-        # last stage stays in PRE-shuffle layout: PReLU commutes with the
-        # shuffle, and the output conv is folded through it
-        a = prelu(conv(h, w, b, (1, 1)), s)
+        for w, b, s, r in stages[:-1]:
+            k = w.shape[0]
+            h = maybe_act(depth_to_space(conv(h, w, b, (k // 2, k // 2)), r), s)
+        w, b, s, _ = stages[-1]
+        k = w.shape[0]
+        # last stage stays in PRE-shuffle layout: the (optional) PReLU
+        # commutes with the shuffle, and the output conv is folded
+        # through it
+        a = maybe_act(conv(h, w, b, (k // 2, k // 2)), s)
         z = conv(a, wf_j, bf_j.astype(a.dtype), (pad, pad))
         return depth_to_space(z, r_last)
 

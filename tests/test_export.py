@@ -1,0 +1,66 @@
+"""AOT serving export (sr/export.py): serialize → reload → same outputs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sr.export import export_predict, load_artifact, save_artifact
+from sr.models.registry import get_spec
+from sr.utils.checkpoint import save_params
+from sr.utils.config import SRConfig
+
+
+def _tiny_params(tmp_path, name, **cfg_kw):
+    spec = get_spec(name)
+    cfg_kw.setdefault("num_channels", spec.default_channels)
+    cfg = SRConfig(model_name=name, scale_factor=4, dtype="float32", **cfg_kw)
+    model = spec.make_model(cfg)
+    c = cfg.num_channels
+    x = jnp.zeros((1, 8, 8, c), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    path = str(tmp_path / f"{name}_params.npz")
+    save_params(path, variables["params"], variables.get("batch_stats"))
+    return path, model, variables, c
+
+
+def test_export_roundtrip_symbolic_batch(tmp_path):
+    """Artifact reloads without model code and serves ANY batch size."""
+    path, model, variables, c = _tiny_params(
+        tmp_path, "ESPCN", num_channels=1)
+    exp = export_predict("ESPCN", path, scale_factor=4, dtype="float32",
+                         lr_size=8)
+    art = str(tmp_path / "espcn.hloart")
+    save_artifact(art, exp)
+    fn = load_artifact(art)
+
+    for b in (1, 3):
+        x = jax.random.uniform(jax.random.key(b), (b, 8, 8, c))
+        want = np.asarray(model.apply(variables, x, train=False))
+        got = np.asarray(fn(x))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_export_fused_tail(tmp_path):
+    """The folded fast tail exports too (serving mode artifact)."""
+    path, model, variables, c = _tiny_params(
+        tmp_path, "SRResNet", num_resblocks=2)
+    exp = export_predict("SRResNet", path, scale_factor=4, dtype="float32",
+                         fused=True, lr_size=8,
+                         cfg_overrides={"num_resblocks": 2})
+    art = str(tmp_path / "srresnet_fused.hloart")
+    save_artifact(art, exp)
+    fn = load_artifact(art)
+    x = jax.random.uniform(jax.random.key(1), (2, 8, 8, c))
+    want = np.asarray(model.apply(variables, x, train=False))
+    np.testing.assert_allclose(np.asarray(fn(x)), want, atol=1e-4)
+
+
+def test_export_static_batch_rejects_other_batch(tmp_path):
+    path, *_ = _tiny_params(tmp_path, "ESPCN", num_channels=1)
+    exp = export_predict("ESPCN", path, scale_factor=4, dtype="float32",
+                         lr_size=8, symbolic_batch=False)
+    fn_call = exp.call
+    with pytest.raises(Exception):
+        fn_call(jnp.zeros((2, 8, 8, 1), jnp.float32))

@@ -73,6 +73,26 @@ def test_folded_tail_predict_equals_model():
     np.testing.assert_allclose(folded, exact, atol=2e-5)
 
 
+@pytest.mark.parametrize("scale", [4, 3])
+def test_folded_tail_predict_equals_model_edsr(scale):
+    """EDSR (activation-free PS stages, ConvBlock-wrapped out_conv) folds
+    exactly too — including the single-stage ×3 tail (r_last=3)."""
+    from sr.kernels.shuffle_fold import make_folded_tail_predict
+    from sr.models.registry import get_spec
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="EDSR", num_channels=3, scale_factor=scale,
+                   num_resblocks=2, dtype="float32")
+    model = get_spec("EDSR").make_model(cfg)
+    x = jax.random.uniform(jax.random.key(0), (2, 12, 12, 3))
+    variables = model.init(jax.random.key(1), x, train=False)
+    exact = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    )
+    folded = np.asarray(make_folded_tail_predict(model, variables)(x))
+    np.testing.assert_allclose(folded, exact, atol=2e-5)
+
+
 def test_fold_bias_replication():
     b = np.array([1.0, 2.0], np.float32)
     np.testing.assert_array_equal(
