@@ -104,9 +104,10 @@ def make_folded_tail_predict(model, variables):
     included — unlike EDSR's interior-exact affine collapse,
     sr/kernels/fused_tail.py). The point is the final conv: its tiny
     output width (N=3 RGB) at full output resolution gets a pathological
-    XLA lowering on TPU (measured ~6 ms/img for SRResNet's 9×9 @512² —
-    PERF.md "shuffle fold"); folded, it runs at the previous stage's
-    resolution with r²× the lanes.
+    XLA lowering on TPU (54% of SRResNet's exact forward device time;
+    the fold halves the end-to-end forward — PERF.md "phase-folded
+    output conv"); folded, it runs at the previous stage's resolution
+    with r²× the lanes.
     """
     p = variables["params"]
     f = model.base_filter

@@ -4,6 +4,10 @@ The reference's only observability is a per-epoch loss print. Here:
 
   * :func:`trace` — context manager around ``jax.profiler`` writing a
     TensorBoard-loadable trace (open with xprof / tensorboard-profile);
+  * :func:`op_profile` — per-op DEVICE time breakdown of a jitted fn
+    (captures a trace, parses it, aggregates XLA op durations) — works
+    through this environment's TPU relay, where interactive xprof
+    doesn't;
   * :class:`StepTimer` — throughput meter reporting steps/s and
     megapixels/s (the BASELINE.json unit), relay-safe (syncs through a
     caller-provided scalar, not block_until_ready — see bench.py note);
@@ -31,6 +35,84 @@ def trace(log_dir: str):
 
 def enable_nan_debugging(enable: bool = True) -> None:
     jax.config.update("jax_debug_nans", enable)
+
+
+def op_profile(fn, *args, iters: int = 3, log_dir: str | None = None):
+    """Per-op device-time breakdown of ``fn(*args)``.
+
+    Compiles/warms ``fn`` outside the trace, runs it ``iters`` times
+    under ``jax.profiler``, parses the Chrome-trace dump, and aggregates
+    'X' (complete) events from device tracks.
+
+    Returns ``{"programs": [...], "ops": [...]}`` where each entry is
+    ``{"name", "ms_per_iter", "count_per_iter", "pct"}``: *programs* are
+    whole-module rows (``jit_*``), *ops* are individual XLA
+    fusions/copies/convs; ``pct`` is of the summed op time. Works on any
+    backend (CPU tests use host tracks when no device track exists).
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    out = jax.block_until_ready(fn(*args))
+    # force completion even where block_until_ready doesn't sync (this
+    # environment's relay): fetch ONE element of the first array leaf
+    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "shape")]
+    def _sync(res):
+        if leaves:
+            lf = [x for x in jax.tree.leaves(res) if hasattr(x, "shape")][0]
+            import numpy as np
+
+            np.asarray(jax.device_get(lf.ravel()[:1] if lf.ndim else lf))
+
+    _sync(out)
+    log_dir = log_dir or tempfile.mkdtemp(prefix="sr_opprof_")
+    with trace(log_dir):
+        for _ in range(iters):
+            _sync(fn(*args))
+
+    runs = sorted(glob.glob(f"{log_dir}/plugins/profile/*/"))
+    if not runs:
+        raise RuntimeError(f"no profile dump under {log_dir}")
+    traces = glob.glob(f"{runs[-1]}/*.trace.json.gz")
+    if not traces:
+        raise RuntimeError(f"no trace.json.gz under {runs[-1]}")
+    with gzip.open(traces[0]) as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pid_name = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    device_pids = {p for p, n in pid_name.items() if n.startswith("/device:")}
+    if not device_pids:  # CPU backend: fall back to host track
+        device_pids = set(pid_name)
+
+    dur = collections.defaultdict(float)
+    cnt = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in device_pids:
+            name = e.get("name", "?")
+            dur[name] += e.get("dur", 0.0)  # microseconds
+            cnt[name] += 1
+
+    programs, ops = [], []
+    op_total = sum(d for n, d in dur.items() if not n.startswith("jit_"))
+    for name, d in sorted(dur.items(), key=lambda kv: -kv[1]):
+        row = {
+            "name": name,
+            "ms_per_iter": round(d / 1e3 / iters, 4),
+            "count_per_iter": cnt[name] / iters,
+        }
+        if name.startswith("jit_"):
+            programs.append(row)
+        else:
+            row["pct"] = round(100.0 * d / op_total, 2) if op_total else 0.0
+            ops.append(row)
+    return {"programs": programs, "ops": ops}
 
 
 class StepTimer:

@@ -66,3 +66,17 @@ def test_ycbcr_matches_pil(rng):
     pil_ycc = np.asarray(Image.fromarray(img, "RGB").convert("YCbCr")).astype(np.float64)
     mine = np.asarray(rgb_to_ycbcr(img.astype(np.float32)))
     assert np.abs(mine - pil_ycc).max() <= 1.0 + 1e-6
+
+
+def test_op_profile_returns_device_ops():
+    """op_profile parses a trace into per-op rows on any backend."""
+    import jax
+    import jax.numpy as jnp
+
+    from sr.utils.profiling import op_profile
+
+    fn = jax.jit(lambda x: jnp.dot(x, x) + 1.0)
+    x = jnp.ones((128, 128), jnp.float32)
+    prof = op_profile(fn, x, iters=2)
+    assert prof["ops"], "no ops parsed from the trace"
+    assert all("ms_per_iter" in r and "pct" in r for r in prof["ops"])
