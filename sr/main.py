@@ -68,6 +68,9 @@ def parse_args(argv=None) -> SRConfig:
                    help=">1 fuses K steps + sampling into one program")
     p.add_argument("--fast_eval", action="store_true",
                    help="on-device PSNR, no image transfer / panels")
+    p.add_argument("--export", action="store_true",
+                   help="after train/eval, write an AOT StableHLO serving "
+                        "artifact (<run_dir>/<Model>_x<r>.hloart — sr/export.py)")
     a = p.parse_args(argv)
 
     spec = get_spec(a.model_name)
@@ -90,7 +93,7 @@ def parse_args(argv=None) -> SRConfig:
         scale_factors=tuple(a.multi_scale) if a.multi_scale else (),
         steps_per_dispatch=a.steps_per_dispatch,
     )
-    return check_args(cfg), (a.eval_only, a.fast_eval)
+    return check_args(cfg), (a.eval_only, a.fast_eval, a.export)
 
 
 def check_args(cfg: SRConfig) -> SRConfig:
@@ -178,7 +181,7 @@ def main(argv=None) -> int:
         print(f"[multihost] process {_jax.process_index()}/"
               f"{_jax.process_count()}")
 
-    cfg, (eval_only, fast_eval) = parse_args(argv)
+    cfg, (eval_only, fast_eval, export) = parse_args(argv)
     spec = get_spec(cfg.model_name)
     run_dir = _run_dir(cfg)
     jsonl = JSONLLogger(os.path.join(run_dir, "metrics.jsonl"))
@@ -273,9 +276,36 @@ def main(argv=None) -> int:
 
     summary = run_eval(cfg, spec, predict, run_dir, log=print, fast=fast_eval)
     jsonl({"event": "eval", **summary})
+    if export:
+        print(f"[export] {export_artifact(cfg, spec, run_dir)}")
     jsonl.close()
     ck.close()
     return 0
+
+
+def export_artifact(cfg: SRConfig, spec, run_dir: str) -> str:
+    """Write the trained run's AOT serving artifact (sr/export.py).
+
+    Input spatial size matches the training convention: crop_size for
+    pre-upsample models (they receive the bicubic-upscaled image),
+    crop_size/scale for raw-LR models. Batch is symbolic.
+    """
+    from sr.export import export_predict, save_artifact
+
+    params_path = os.path.join(run_dir, f"{cfg.model_name}_params.npz")
+    if not os.path.exists(params_path):
+        raise SystemExit(f"--export needs trained params at {params_path}")
+    size = (cfg.crop_size if spec.pre_upsample
+            else cfg.crop_size // cfg.scale_factor)
+    exp = export_predict(
+        cfg.model_name, params_path, cfg.scale_factor, cfg.num_channels,
+        cfg.dtype, lr_size=size,
+        cfg_overrides={"num_resblocks": cfg.num_resblocks,
+                       "base_filter": cfg.base_filter},
+    )
+    out = os.path.join(run_dir, f"{cfg.model_name}_x{cfg.scale_factor}.hloart")
+    save_artifact(out, exp)
+    return out
 
 
 if __name__ == "__main__":

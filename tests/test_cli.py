@@ -7,7 +7,7 @@ from sr.utils.config import SRConfig
 
 
 def test_reference_flags_parse():
-    cfg, (eval_only, _) = parse_args([
+    cfg, (eval_only, *_) = parse_args([
         "--model_name", "ESPCN", "--scale_factor", "2", "--crop_size", "64",
         "--num_epochs", "5", "--batch_size", "16", "--lr", "0.001",
         "--train_dataset", "bsds300", "--test_dataset", "Set5",
@@ -38,10 +38,44 @@ def test_check_args_rejects_bad_epochs():
 
 
 def test_eval_only_flag():
-    _, (eval_only, _) = parse_args(
+    _, (eval_only, *_rest) = parse_args(
         ["--model_name", "ESPCN", "--eval_only", "--save_dir", "/tmp/s"]
     )
     assert eval_only is True
+
+
+def test_export_flag_and_artifact(tmp_path):
+    _, (_, _, export) = parse_args(
+        ["--model_name", "ESPCN", "--export", "--save_dir", str(tmp_path)]
+    )
+    assert export is True
+
+    # the helper writes a loadable artifact from saved params
+    import jax
+    import numpy as np
+
+    from sr.export import load_artifact
+    from sr.main import export_artifact
+    from sr.models.registry import get_spec
+    from sr.utils.checkpoint import save_params
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="ESPCN", num_channels=1, scale_factor=4,
+                   crop_size=32, dtype="float32", save_dir=str(tmp_path))
+    spec = get_spec("ESPCN")
+    model = spec.make_model(cfg)
+    x = jax.numpy.zeros((1, 8, 8, 1))
+    variables = model.init(jax.random.key(0), x, train=False)
+    run_dir = str(tmp_path / "ESPCN_x4")
+    import os
+
+    os.makedirs(run_dir, exist_ok=True)
+    save_params(os.path.join(run_dir, "ESPCN_params.npz"),
+                variables["params"], variables.get("batch_stats"))
+    out = export_artifact(cfg, spec, run_dir)
+    fn = load_artifact(out)
+    y = fn(np.zeros((2, 8, 8, 1), np.float32))
+    assert y.shape == (2, 32, 32, 1)
 
 
 def test_mesh_flag():
