@@ -1,0 +1,91 @@
+"""HTTP serving endpoint (sr/serve.py): health, info, upscale round-trip."""
+
+import http.client
+import io
+
+import numpy as np
+import pytest
+
+import jax
+
+from sr.models.registry import get_spec
+from sr.serve import SRService, serve_background
+from sr.utils.checkpoint import save_params
+from sr.utils.config import SRConfig
+
+
+def _png_bytes(arr: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def espcn_params(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    cfg = SRConfig(model_name="ESPCN", num_channels=1, scale_factor=4,
+                   dtype="float32")
+    model = get_spec("ESPCN").make_model(cfg)
+    variables = model.init(jax.random.key(0),
+                           jax.numpy.zeros((1, 8, 8, 1)), train=False)
+    path = str(tmp / "ESPCN_params.npz")
+    save_params(path, variables["params"], variables.get("batch_stats"))
+    return path
+
+
+def test_serve_model_mode_roundtrip(espcn_params):
+    service = SRService(model_name="ESPCN", params=espcn_params,
+                        scale_factor=4, num_channels=1, fused=False)
+    httpd, port = serve_background(service)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().read() == b'{"ok": true}'
+        conn.request("GET", "/info")
+        r = conn.getresponse()
+        assert b'"model_name": "ESPCN"' in r.read()
+
+        img = np.random.default_rng(0).integers(
+            0, 255, (16, 12, 3), np.uint8)
+        conn.request("POST", "/upscale", body=_png_bytes(img),
+                     headers={"Content-Type": "image/png"})
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        from PIL import Image
+
+        out = np.asarray(Image.open(io.BytesIO(resp.read())))
+        assert out.shape == (64, 48, 3)
+    finally:
+        httpd.shutdown()
+
+
+def test_serve_artifact_mode_enforces_contract(tmp_path, espcn_params):
+    from sr.export import export_predict, save_artifact
+
+    exp = export_predict("ESPCN", espcn_params, scale_factor=4,
+                         num_channels=1, dtype="float32", lr_size=8)
+    art = str(tmp_path / "espcn.hloart")
+    save_artifact(art, exp)
+    service = SRService(artifact=art, scale_factor=4)
+    httpd, port = serve_background(service)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        img8 = np.zeros((8, 8, 3), np.uint8)
+        conn.request("POST", "/upscale", body=_png_bytes(img8))
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        from PIL import Image
+
+        out = np.asarray(Image.open(io.BytesIO(resp.read())))
+        assert out.shape == (32, 32, 3)
+
+        # wrong size is a 400 with a helpful message, not a crash
+        conn.request("POST", "/upscale",
+                     body=_png_bytes(np.zeros((9, 9, 3), np.uint8)))
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert b"artifact serves 8x8" in resp.read()
+    finally:
+        httpd.shutdown()
