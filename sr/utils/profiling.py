@@ -56,18 +56,18 @@ def op_profile(fn, *args, iters: int = 3, log_dir: str | None = None):
     import json
     import tempfile
 
-    out = jax.block_until_ready(fn(*args))
     # force completion even where block_until_ready doesn't sync (this
     # environment's relay): fetch ONE element of the first array leaf
-    leaves = [x for x in jax.tree.leaves(out) if hasattr(x, "shape")]
     def _sync(res):
-        if leaves:
-            lf = [x for x in jax.tree.leaves(res) if hasattr(x, "shape")][0]
+        jax.block_until_ready(res)
+        arrs = [x for x in jax.tree.leaves(res) if hasattr(x, "shape")]
+        if arrs:
             import numpy as np
 
+            lf = arrs[0]
             np.asarray(jax.device_get(lf.ravel()[:1] if lf.ndim else lf))
 
-    _sync(out)
+    _sync(fn(*args))  # compile + warm outside the trace
     log_dir = log_dir or tempfile.mkdtemp(prefix="sr_opprof_")
     with trace(log_dir):
         for _ in range(iters):
