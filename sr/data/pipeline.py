@@ -89,12 +89,15 @@ class PatchPipeline:
     channels: int = 3
     augment: bool = True
     random_scale: bool = True
-    # 'item' draws the random-scale per sample (reference behavior);
-    # 'batch' draws once per batch. Counter-intuitively, 'item' is FASTER
-    # on TPU (50 vs 35 steps/s scan-fused): vmap turns the switch into
-    # straight-line all-branch dataflow that XLA pipelines, while the
-    # unbatched-predicate branch is real control flow inside the scan.
-    # 'batch' kept for backends where control flow wins.
+    # 'item' draws the random-scale per sample (reference behavior,
+    # default); 'batch' draws once per batch — the switch predicate is
+    # then unbatched, so XLA keeps a true branch (one resize instead of
+    # all six under vmap). MEASURED (K=100 scan-fused single-dispatch,
+    # min-of-3, ESPCN ×4 crop 64 b32): batch 2144 vs item 1560 steps/s
+    # (1.37×) — prefer 'batch' for small models where the sampler is a
+    # large share of the step (~40% for ESPCN, ~9% for EDSR; PERF.md).
+    # An earlier wall-clock A/B concluded the opposite; that reading was
+    # a relay measurement artifact (PERF.md method caveats).
     random_scale_mode: str = "item"
     pre_upsample: bool = False
     # multi-scale training (VDSR/DRCN are multi-scale-capable —
