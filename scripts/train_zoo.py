@@ -22,7 +22,8 @@ import numpy as np
 
 
 def run_one(name: str, steps: int, train_ds: str, test_ds: str,
-            spd: int = 1, corpus: int = 0, vgg: str | None = None) -> dict:
+            spd: int = 1, corpus: int = 0, vgg: str | None = None,
+            scale_factor: int = 4) -> dict:
     from sr.data.datasets import get_training_set
     from sr.data.pipeline import build_patch_pipeline
     from sr.eval.runner import evaluate
@@ -31,7 +32,8 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
 
     spec = get_spec(name)
     cfg = SRConfig(
-        model_name=name, scale_factor=4, crop_size=64, batch_size=32,
+        model_name=name, scale_factor=scale_factor, crop_size=64,
+        batch_size=32,
         num_channels=spec.default_channels, dtype="bfloat16",
         steps_per_epoch=min(steps, 200),
         num_epochs=max(1, steps // min(steps, 200)),
@@ -104,6 +106,7 @@ def main():
     p.add_argument("--test_dataset", default="synthetic")
     p.add_argument("--out", default="results_zoo.json")
     p.add_argument("--models", nargs="*", default=None)
+    p.add_argument("--scale_factor", type=int, default=4)
     p.add_argument("--vgg", default=None,
                    help="VGG19 .pth for the SRGAN perceptual term "
                         "(see scripts/make_synthetic_vgg.py), or 'random'")
@@ -117,7 +120,7 @@ def main():
         try:
             results.append(
                 run_one(name, a.steps, a.train_dataset, a.test_dataset,
-                        a.spd, a.corpus, a.vgg)
+                        a.spd, a.corpus, a.vgg, a.scale_factor)
             )
         except Exception as e:  # noqa: BLE001
             print(f"[zoo] {name} FAILED: {e}", file=sys.stderr, flush=True)
