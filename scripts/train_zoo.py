@@ -82,7 +82,7 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
 
     test_set = get_test_set(cfg.data_dir, cfg.test_dataset)
     res = evaluate(
-        predict, test_set, 4, channels=color_c,
+        predict, test_set, cfg.scale_factor, channels=color_c,
         pre_upsample=spec.pre_upsample, dataset_name=cfg.test_dataset,
         color_space="rgb" if cfg.test_dataset == "synthetic" else "ycbcr",
     )
