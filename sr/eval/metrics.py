@@ -66,6 +66,47 @@ def psnr(pred, target, max_val: float = 255.0, border: int = 0) -> float:
     return float(20.0 * np.log10(max_val / np.sqrt(mse)))
 
 
+def ssim(pred, target, max_val: float = 255.0, border: int = 0) -> float:
+    """Structural similarity (Wang et al. 2004, the SR papers' second
+    metric alongside PSNR; the reference reports PSNR only).
+
+    Canonical constants: 11×11 gaussian window σ=1.5, K1=0.01, K2=0.03;
+    the SSIM map is averaged over the valid region (window fully inside
+    the image — the MATLAB `filter2(..., 'valid')` convention used by
+    the SR literature). Inputs are de-normalized ([0, max_val]) arrays,
+    (H,W) or (H,W,C) (channels averaged); ``border`` is shaved first,
+    like :func:`psnr`. Computed on host in float64.
+    """
+    from scipy.ndimage import gaussian_filter
+
+    p = np.asarray(shave(pred, border), dtype=np.float64)
+    t = np.asarray(shave(target, border), dtype=np.float64)
+    if p.ndim == 2:
+        p, t = p[..., None], t[..., None]
+    if p.shape[0] < 11 or p.shape[1] < 11:
+        raise ValueError(f"image {p.shape} smaller than the 11x11 window")
+
+    sigma, radius = 1.5, 5  # 11-tap gaussian (truncate = radius/sigma)
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+
+    def filt(x):
+        return gaussian_filter(x, sigma, truncate=radius / sigma,
+                               mode="constant", axes=(0, 1))
+
+    def valid(x):
+        return x[radius:-radius, radius:-radius]
+
+    mu_p, mu_t = filt(p), filt(t)
+    var_p = filt(p * p) - mu_p * mu_p
+    var_t = filt(t * t) - mu_t * mu_t
+    cov = filt(p * t) - mu_p * mu_t
+    ssim_map = ((2 * mu_p * mu_t + c1) * (2 * cov + c2)) / (
+        (mu_p * mu_p + mu_t * mu_t + c1) * (var_p + var_t + c2)
+    )
+    return float(np.mean(valid(ssim_map)))
+
+
 # ---------------------------------------------------------------------------
 # YCbCr — PIL convert('YCbCr') parity (JPEG full-range BT.601)
 # ---------------------------------------------------------------------------

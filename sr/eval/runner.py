@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from sr.eval.metrics import modulo_crop, psnr, rgb_to_ycbcr
+from sr.eval.metrics import modulo_crop, psnr, rgb_to_ycbcr, ssim
 from sr.data.native import resize_bicubic_u8  # native when built, numpy fallback
 
 
@@ -30,6 +30,8 @@ class ImageResult:
     name: str
     psnr_sr: float
     psnr_bicubic: float
+    ssim_sr: float | None = None  # SSIM (host metric path only)
+    ssim_bicubic: float | None = None
     sr: np.ndarray | None = None  # uint8 HWC (render channels)
     bicubic: np.ndarray | None = None
     hr: np.ndarray | None = None
@@ -56,6 +58,17 @@ class EvalResult:
             "num_images": len(self.images),
             "psnr_sr": round(self.avg_psnr_sr, 4),
             "psnr_bicubic": round(self.avg_psnr_bicubic, 4),
+            **(
+                {
+                    "ssim_sr": round(float(np.mean(
+                        [r.ssim_sr for r in self.images])), 4),
+                    "ssim_bicubic": round(float(np.mean(
+                        [r.ssim_bicubic for r in self.images])), 4),
+                }
+                if self.images and all(
+                    r.ssim_sr is not None for r in self.images)
+                else {}
+            ),
         }
 
 
@@ -210,6 +223,11 @@ def evaluate(
                 )
         p_sr = psnr(y_sr, y_hr, border=border)
         p_bc = psnr(y_bc, y_hr, border=border)
+        try:
+            s_sr = ssim(y_sr, y_hr, border=border)
+            s_bc = ssim(y_bc, y_hr, border=border)
+        except ValueError:  # image smaller than the 11x11 SSIM window
+            s_sr = s_bc = None
 
         rendered = None
         if keep_images:
@@ -221,6 +239,7 @@ def evaluate(
         res.images.append(
             ImageResult(
                 names[i], p_sr, p_bc,
+                ssim_sr=s_sr, ssim_bicubic=s_bc,
                 sr=rendered,
                 bicubic=bc if keep_images else None,
                 hr=hr if keep_images else None,

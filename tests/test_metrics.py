@@ -1,6 +1,7 @@
 """Eval-convention tests: PSNR / shave / modulo crop / YCbCr (SURVEY §4.1)."""
 
 import numpy as np
+import pytest
 from PIL import Image
 
 from sr.eval.metrics import (
@@ -80,3 +81,80 @@ def test_op_profile_returns_device_ops():
     prof = op_profile(fn, x, iters=2)
     assert prof["ops"], "no ops parsed from the trace"
     assert all("ms_per_iter" in r and "pct" in r for r in prof["ops"])
+
+
+def _ssim_reference(p, t, max_val=255.0):
+    """Independent sliding-window SSIM (no scipy): explicit 11x11
+    gaussian window, valid-region mean — the Wang et al. formula."""
+    import numpy as np
+
+    p = p.astype(np.float64)
+    t = t.astype(np.float64)
+    if p.ndim == 2:
+        p, t = p[..., None], t[..., None]
+    r, sigma = 5, 1.5
+    ax = np.arange(-r, r + 1)
+    g1 = np.exp(-(ax ** 2) / (2 * sigma ** 2))
+    w = np.outer(g1, g1)
+    w /= w.sum()
+    c1, c2 = (0.01 * max_val) ** 2, (0.03 * max_val) ** 2
+    h, wd, c = p.shape
+    vals = []
+    for ch in range(c):
+        for i in range(h - 2 * r):
+            for j in range(wd - 2 * r):
+                wp = p[i:i + 11, j:j + 11, ch]
+                wt = t[i:i + 11, j:j + 11, ch]
+                mp, mt = (w * wp).sum(), (w * wt).sum()
+                vp = (w * wp * wp).sum() - mp * mp
+                vt = (w * wt * wt).sum() - mt * mt
+                cov = (w * wp * wt).sum() - mp * mt
+                vals.append(((2 * mp * mt + c1) * (2 * cov + c2))
+                            / ((mp * mp + mt * mt + c1) * (vp + vt + c2)))
+    return float(np.mean(vals))
+
+
+def test_ssim_matches_sliding_window_reference():
+    import numpy as np
+
+    from sr.eval.metrics import ssim
+
+    rng = np.random.default_rng(3)
+    t = rng.integers(0, 255, (24, 20), np.uint8).astype(np.float64)
+    p = np.clip(t + rng.normal(0, 12, t.shape), 0, 255)
+    assert ssim(p, t) == pytest.approx(_ssim_reference(p, t), abs=1e-9)
+
+
+def test_ssim_properties():
+    import numpy as np
+
+    from sr.eval.metrics import ssim
+
+    rng = np.random.default_rng(4)
+    t = rng.integers(0, 255, (32, 32, 3), np.uint8).astype(np.float64)
+    assert ssim(t, t) == pytest.approx(1.0, abs=1e-12)  # identity
+    noisy1 = np.clip(t + rng.normal(0, 5, t.shape), 0, 255)
+    noisy2 = np.clip(t + rng.normal(0, 40, t.shape), 0, 255)
+    s1, s2 = ssim(noisy1, t), ssim(noisy2, t)
+    assert s2 < s1 < 1.0  # more noise, lower SSIM
+    assert ssim(noisy1, t) == pytest.approx(ssim(t, noisy1), abs=1e-12)
+    with pytest.raises(ValueError):
+        ssim(t[:8, :8], t[:8, :8])  # smaller than the window
+
+
+def test_evaluate_reports_ssim():
+    import jax
+    import numpy as np
+
+    from sr.data.datasets import SyntheticDataset
+    from sr.eval.runner import evaluate
+
+    ds = SyntheticDataset(num_images=2, size=(32, 32), channels=3)
+    predict = jax.jit(lambda x: jax.image.resize(
+        x, (x.shape[0], x.shape[1] * 2, x.shape[2] * 2, x.shape[3]),
+        "nearest"))
+    res = evaluate(predict, ds, 2, channels=3, dataset_name="synthetic",
+                   color_space="rgb")
+    s = res.summary()
+    assert 0.0 < s["ssim_bicubic"] <= 1.0
+    assert 0.0 < s["ssim_sr"] <= 1.0
