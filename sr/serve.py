@@ -82,7 +82,8 @@ class SRService:
             if c == 1:
                 from sr.eval.metrics import rgb_to_ycbcr
 
-                # 1-channel artifacts super-resolve the LUMA channel
+                # 1-channel artifacts super-resolve the LUMA channel and
+                # return grayscale; use model mode for the chroma merge
                 x = np.asarray(rgb_to_ycbcr(x * 255.0))[..., :1] / 255.0
             sr = np.asarray(self._fn(x), np.float32)[0]
             out = np.clip(np.round(sr * 255.0), 0, 255).astype(np.uint8)
@@ -127,6 +128,10 @@ def make_server(service: SRService, port: int = 0) -> ThreadingHTTPServer:
                 self._send(404, b'{"error": "not found"}', "application/json")
                 return
             n = int(self.headers.get("Content-Length", 0))
+            if n > 64 << 20:  # bound request size (decoded images are far larger)
+                self._send(413, b'{"error": "payload too large"}',
+                           "application/json")
+                return
             data = self.rfile.read(n)
             try:
                 png = service.upscale_bytes(data)

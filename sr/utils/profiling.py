@@ -44,7 +44,8 @@ def op_profile(fn, *args, iters: int = 3, log_dir: str | None = None):
     under ``jax.profiler``, parses the Chrome-trace dump, and aggregates
     'X' (complete) events from device tracks.
 
-    Returns ``{"programs": [...], "ops": [...]}`` where each entry is
+    Returns ``{"programs": [...], "ops": [...], "log_dir": ...}`` (the
+    trace dump is kept at ``log_dir`` for TensorBoard) where each entry is
     ``{"name", "ms_per_iter", "count_per_iter", "pct"}``: *programs* are
     whole-module rows (``jit_*``), *ops* are individual XLA
     fusions/copies/convs; ``pct`` is of the summed op time. Works on any
@@ -112,7 +113,7 @@ def op_profile(fn, *args, iters: int = 3, log_dir: str | None = None):
         else:
             row["pct"] = round(100.0 * d / op_total, 2) if op_total else 0.0
             ops.append(row)
-    return {"programs": programs, "ops": ops}
+    return {"programs": programs, "ops": ops, "log_dir": log_dir}
 
 
 class StepTimer:
