@@ -27,7 +27,7 @@ import time
 sys.path.insert(0, ".")
 
 B_SMALL, B_LARGE, ITERS = 16, 32, 5
-if len(sys.argv) >= 3 and sys.argv[1].isdigit():
+if len(sys.argv) >= 3 and sys.argv[1].isdigit() and sys.argv[2].isdigit():
     B_SMALL, B_LARGE = int(sys.argv[1]), int(sys.argv[2])
 
 

@@ -58,18 +58,24 @@ class EvalResult:
             "num_images": len(self.images),
             "psnr_sr": round(self.avg_psnr_sr, 4),
             "psnr_bicubic": round(self.avg_psnr_bicubic, 4),
-            **(
-                {
-                    "ssim_sr": round(float(np.mean(
-                        [r.ssim_sr for r in self.images])), 4),
-                    "ssim_bicubic": round(float(np.mean(
-                        [r.ssim_bicubic for r in self.images])), 4),
-                }
-                if self.images and all(
-                    r.ssim_sr is not None for r in self.images)
-                else {}
-            ),
+            **self._ssim_summary(),
         }
+
+    def _ssim_summary(self) -> dict:
+        """Mean SSIM over the images that have it (images whose shaved
+        size is under the 11×11 window carry None — they are excluded
+        from the mean, not allowed to suppress the metric)."""
+        pairs = [(r.ssim_sr, r.ssim_bicubic) for r in self.images
+                 if r.ssim_sr is not None]
+        if not pairs:
+            return {}
+        out = {
+            "ssim_sr": round(float(np.mean([p[0] for p in pairs])), 4),
+            "ssim_bicubic": round(float(np.mean([p[1] for p in pairs])), 4),
+        }
+        if len(pairs) != len(self.images):
+            out["ssim_images"] = len(pairs)
+        return out
 
 
 def _to_y(img_u8: np.ndarray) -> np.ndarray:

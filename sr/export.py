@@ -49,19 +49,9 @@ def _build_predict(model_name: str, params_path: str, scale_factor: int,
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
 
-    if fused and hasattr(model, "tail"):
-        try:
-            from sr.kernels.fused_tail import make_fused_tail_predict
+    from sr.infer import make_serving_predict
 
-            return make_fused_tail_predict(model, variables), channels
-        except (ValueError, KeyError):
-            from sr.kernels.shuffle_fold import make_folded_tail_predict
-
-            return make_folded_tail_predict(model, variables), channels
-    return (
-        jax.jit(lambda x: model.apply(variables, x, train=False)),
-        channels,
-    )
+    return make_serving_predict(model, variables, fused), channels
 
 
 def export_predict(
@@ -138,10 +128,15 @@ def main(argv: list[str] | None = None) -> None:
                    help="e.g. --platforms cpu tpu for a portable artifact")
     p.add_argument("--num_resblocks", type=int, default=None)
     p.add_argument("--base_filter", type=int, default=None)
+    p.add_argument("--res_scale", type=float, default=None,
+                   help="EDSR residual scaling — param-free, MUST match "
+                        "training or the artifact silently diverges")
+    p.add_argument("--num_recursions", type=int, default=None)
     a = p.parse_args(argv)
     overrides = {
         k: v for k, v in
-        (("num_resblocks", a.num_resblocks), ("base_filter", a.base_filter))
+        (("num_resblocks", a.num_resblocks), ("base_filter", a.base_filter),
+         ("res_scale", a.res_scale), ("num_recursions", a.num_recursions))
         if v is not None
     }
     exp = export_predict(

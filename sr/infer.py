@@ -24,6 +24,27 @@ from sr.utils.checkpoint import load_params
 from sr.utils.config import SRConfig
 
 
+def make_serving_predict(model, variables, fused: bool):
+    """ONE place for the serving-variant policy, shared by sr.infer and
+    sr.export: ``fused`` picks the collapsed affine tail where the tail
+    is affine (EDSR), else the exact phase-folded tail (SRResNet/SRGAN);
+    models without a PS tail (or when ``fused=False``) run the exact
+    graph."""
+    if fused and hasattr(model, "tail"):
+        try:
+            # affine tails (EDSR) collapse to one conv (interior-exact)
+            from sr.kernels.fused_tail import make_fused_tail_predict
+
+            return make_fused_tail_predict(model, variables)
+        except (ValueError, KeyError):
+            # activation-bearing tails (SRResNet/SRGAN): fold the output
+            # conv through the last shuffle instead — fully exact
+            from sr.kernels.shuffle_fold import make_folded_tail_predict
+
+            return make_folded_tail_predict(model, variables)
+    return jax.jit(lambda x: model.apply(variables, x, train=False))
+
+
 @functools.lru_cache(maxsize=8)
 def _load(model_name: str, params_path: str, params_mtime: float,
           scale_factor: int, num_channels: int | None, dtype: str,
@@ -41,20 +62,7 @@ def _load(model_name: str, params_path: str, params_mtime: float,
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
 
-    if fused and hasattr(model, "tail"):
-        try:
-            # affine tails (EDSR) collapse to one conv (interior-exact)
-            from sr.kernels.fused_tail import make_fused_tail_predict
-
-            fn = make_fused_tail_predict(model, variables)
-        except ValueError:
-            # activation-bearing tails (SRResNet/SRGAN): fold the output
-            # conv through the last shuffle instead — fully exact
-            from sr.kernels.shuffle_fold import make_folded_tail_predict
-
-            fn = make_folded_tail_predict(model, variables)
-    else:
-        fn = jax.jit(lambda x: model.apply(variables, x, train=False))
+    fn = make_serving_predict(model, variables, fused)
     return spec, channels, fn
 
 

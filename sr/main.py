@@ -225,8 +225,7 @@ def main(argv=None) -> int:
                 ),
             )
             predict = lambda x: tr.predict(g_state, x)  # noqa: E731
-            save_params(os.path.join(run_dir, f"{cfg.model_name}_params.npz"),
-                        g_state.params, g_state.batch_stats)
+        final_params = (g_state.params, g_state.batch_stats)
     else:
         from sr.train.trainer import Trainer
 
@@ -271,9 +270,14 @@ def main(argv=None) -> int:
             if epoch_losses:
                 plot_loss(epoch_losses, os.path.join(run_dir, "loss.png"),
                           title=f"{cfg.model_name} x{cfg.scale_factor}")
-            save_params(os.path.join(run_dir, f"{cfg.model_name}_params.npz"),
-                        state.params, state.batch_stats)
+        final_params = (state.params, state.batch_stats)
 
+    # npz written from the LIVE state so it always matches the weights
+    # just trained/evaluated (a resumed run's checkpoint can be newer
+    # than a previously written npz — the export must not ship stale
+    # params)
+    save_params(os.path.join(run_dir, f"{cfg.model_name}_params.npz"),
+                *final_params)
     summary = run_eval(cfg, spec, predict, run_dir, log=print, fast=fast_eval)
     jsonl({"event": "eval", **summary})
     if export:
@@ -300,8 +304,12 @@ def export_artifact(cfg: SRConfig, spec, run_dir: str) -> str:
     exp = export_predict(
         cfg.model_name, params_path, cfg.scale_factor, cfg.num_channels,
         cfg.dtype, lr_size=size,
+        # forward every arch-affecting knob — res_scale is param-free and
+        # would otherwise silently change the exported function
         cfg_overrides={"num_resblocks": cfg.num_resblocks,
-                       "base_filter": cfg.base_filter},
+                       "base_filter": cfg.base_filter,
+                       "res_scale": cfg.res_scale,
+                       "num_recursions": cfg.num_recursions},
     )
     out = os.path.join(run_dir, f"{cfg.model_name}_x{cfg.scale_factor}.hloart")
     save_artifact(out, exp)

@@ -50,13 +50,18 @@ class SRService:
 
             self._fn = load_artifact(artifact)
             aval = self._fn.exported.in_avals[0]
+            out_aval = self._fn.exported.out_avals[0]
             self.in_shape = tuple(
                 None if not isinstance(d, int) else d for d in aval.shape
             )
+            # pre-upsample artifacts (SRCNN/VDSR/DRCN) map H×W → H×W;
+            # the server then owes the client the bicubic pre-upsample
+            self.net_scale = out_aval.shape[1] // aval.shape[1]
         else:
             if params is None:
                 raise ValueError("--model_name needs --params")
             self.in_shape = (None, None, None, None)
+            self.net_scale = None  # model mode: sr.infer handles conventions
 
     def info(self) -> dict:
         return {
@@ -72,7 +77,21 @@ class SRService:
         img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
         if self.mode == "artifact":
             _, h, w, c = self.in_shape
-            if img.shape[0] != h or img.shape[1] != w:
+            if self.net_scale == 1:
+                # pre-upsample model: accept the LR image and apply the
+                # bicubic pre-upsample it was trained on
+                r = self.scale_factor
+                if img.shape[:2] == (h // r, w // r):
+                    from sr.data.native import resize_bicubic_u8
+
+                    img = resize_bicubic_u8(img, (h, w))
+                elif img.shape[:2] != (h, w):
+                    raise ValueError(
+                        f"pre-upsample artifact serves {h // r}x{w // r} LR "
+                        f"(or already-upscaled {h}x{w}) inputs, got "
+                        f"{img.shape[0]}x{img.shape[1]}"
+                    )
+            elif img.shape[0] != h or img.shape[1] != w:
                 raise ValueError(
                     f"artifact serves {h}x{w} inputs, got "
                     f"{img.shape[0]}x{img.shape[1]} (export per bucket size, "
@@ -129,6 +148,14 @@ def make_server(service: SRService, port: int = 0) -> ThreadingHTTPServer:
                 return
             n = int(self.headers.get("Content-Length", 0))
             if n > 64 << 20:  # bound request size (decoded images are far larger)
+                # drain the declared body first so the client sees the
+                # 413 instead of a broken pipe mid-upload
+                left = n
+                while left > 0:
+                    chunk = self.rfile.read(min(left, 1 << 20))
+                    if not chunk:
+                        break
+                    left -= len(chunk)
                 self._send(413, b'{"error": "payload too large"}',
                            "application/json")
                 return

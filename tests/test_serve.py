@@ -89,3 +89,41 @@ def test_serve_artifact_mode_enforces_contract(tmp_path, espcn_params):
         assert b"artifact serves 8x8" in resp.read()
     finally:
         httpd.shutdown()
+
+
+def test_serve_preupsample_artifact_applies_bicubic(tmp_path):
+    """A pre-upsample artifact (SRCNN) accepts the LR image; the server
+    owes it the bicubic pre-upsample (review finding: previously the raw
+    LR pixels were fed straight in and nothing was upscaled)."""
+    from sr.export import export_predict, save_artifact
+
+    cfg = SRConfig(model_name="SRCNN", num_channels=1, scale_factor=4,
+                   dtype="float32")
+    model = get_spec("SRCNN").make_model(cfg)
+    variables = model.init(jax.random.key(0),
+                           jax.numpy.zeros((1, 16, 16, 1)), train=False)
+    path = str(tmp_path / "SRCNN_params.npz")
+    save_params(path, variables["params"], variables.get("batch_stats"))
+    exp = export_predict("SRCNN", path, scale_factor=4, num_channels=1,
+                         dtype="float32", lr_size=16)  # HR-size input
+    art = str(tmp_path / "srcnn.hloart")
+    save_artifact(art, exp)
+
+    service = SRService(artifact=art, scale_factor=4)
+    assert service.net_scale == 1
+    httpd, port = serve_background(service)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        # client sends the 4x-smaller LR image
+        lr = np.random.default_rng(0).integers(0, 255, (4, 4, 3), np.uint8)
+        conn.request("POST", "/upscale", body=_png_bytes(lr))
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        import io as _io
+
+        from PIL import Image
+
+        out = np.asarray(Image.open(_io.BytesIO(resp.read())))
+        assert out.shape == (16, 16, 3)  # upscaled, not same-size
+    finally:
+        httpd.shutdown()
