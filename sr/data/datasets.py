@@ -146,6 +146,11 @@ def get_training_set(
     for name in datasets:
         lname = name.lower()
         if lname == "synthetic":
+            if len(datasets) > 1:
+                raise ValueError(
+                    "'synthetic' is a standalone dataset and cannot be "
+                    f"concatenated with {[d for d in datasets if d != name]}"
+                )
             return SyntheticDataset(num_images=32, size=(160, 160), seed=0)
         if lname == "bsds300":
             root = download_bsds300(data_dir)

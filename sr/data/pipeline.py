@@ -122,6 +122,14 @@ class PatchPipeline:
                 f"crop_size {self.crop_size} with random_scale needs images "
                 f"≥{max_patch}px, corpus is {h}x{w}"
             )
+        if not self.random_scale and self.crop_size > min(h, w):
+            # without this, crop_branch would silently bicubic-UPSCALE
+            # corpus patches into fake HR targets
+            raise ValueError(
+                f"crop_size {self.crop_size} exceeds the corpus "
+                f"({h}x{w}); reduce crop_size (build_patch_pipeline "
+                "does this automatically)"
+            )
         if self.crop_size % self.scale_factor:
             raise ValueError("crop_size must divide by scale_factor")
         if self.random_scale_mode not in ("item", "batch"):
@@ -264,11 +272,15 @@ def build_patch_pipeline(cfg, spec, images: list[np.ndarray]) -> PatchPipeline:
               "--multi_scale ignored")
         scale_factors = ()
     if scale_factors:
-        lcm = int(np.lcm.reduce(np.array(scale_factors)))
+        # the reduced crop must stay divisible by EVERY scale in play,
+        # including the config's base scale_factor (the sampler's own
+        # divisibility check) — lcm over just the multi-scale tuple can
+        # yield e.g. 126 for (2,3) and crash on scale_factor=4
+        lcm = int(np.lcm.reduce(np.array(scale_factors + (cfg.scale_factor,))))
         if crop % lcm:
             crop = (crop // lcm) * lcm
             print(f"[warn] crop_size reduced to {crop} (divisible by "
-                  f"all of {scale_factors})")
+                  f"all of {scale_factors} and x{cfg.scale_factor})")
     return PatchPipeline(
         images, crop_size=crop, scale_factor=cfg.scale_factor,
         batch_size=cfg.batch_size, channels=cfg.num_channels,

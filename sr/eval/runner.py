@@ -78,15 +78,6 @@ class EvalResult:
         return out
 
 
-def _to_y(img_u8: np.ndarray) -> np.ndarray:
-    """(H,W,C) uint8 → Y-channel float64 (H,W). C==1 → that channel;
-    C==3 → images are YCbCr if loaded via decode.load_img('ycbcr'); for
-    RGB-model outputs we convert RGB→Y."""
-    if img_u8.shape[-1] == 1:
-        return img_u8[..., 0].astype(np.float64)
-    raise AssertionError("use _rgb_to_y / ycc explicitly for 3-channel")
-
-
 def _rgb_to_y(rgb_u8: np.ndarray) -> np.ndarray:
     return np.asarray(rgb_to_ycbcr(rgb_u8.astype(np.float32)))[..., 0].astype(
         np.float64
@@ -151,8 +142,12 @@ def evaluate(
     compiles instead of one 40–200 s remote compile per image (SURVEY §7
     hard part 6). Numerically identical to the direct forward because the
     halo covers the model's receptive field (``model_name`` selects it
-    from sr.eval.tiling.RECEPTIVE_FIELD). Images smaller than the window
-    (tile + 2·halo) fall back to a native-size forward.
+    from sr.eval.tiling.RECEPTIVE_FIELD). CAVEAT: images smaller than the
+    window (tile + 2·halo) fall back to a native-size forward — one
+    compile per DISTINCT small shape. Raw-LR models see images at 1/r
+    scale, so small test sets (Set5 ×4) may be entirely below the
+    window; a warning reports how many compiles the fallback cost.
+    Pre-upsample models (HR-size inputs) are rarely affected.
     """
     r = scale_factor
     border = r if shave_border is None else shave_border
@@ -164,8 +159,13 @@ def evaluate(
         halo = RECEPTIVE_FIELD.get(model_name.lower(), 48)
         net_scale = 1 if pre_upsample else scale_factor
         inner_fn = predict_fn
+        _fallback_shapes: set = set()
+        _win = tile + 2 * halo
 
         def predict_fn(x, _inner=inner_fn, _halo=halo, _scale=net_scale):
+            if x.shape[1] <= _win and x.shape[2] <= _win:
+                # mirrors tiled_predict's native-size fallback condition
+                _fallback_shapes.add((x.shape[1], x.shape[2]))
             return tiled_predict(
                 _inner, x, _scale, tile=tile, halo=_halo,
                 max_tiles_per_call=8, fixed_chunk=True,
@@ -250,5 +250,12 @@ def evaluate(
                 bicubic=bc if keep_images else None,
                 hr=hr if keep_images else None,
             )
+        )
+    if static_shapes and _fallback_shapes:
+        print(
+            f"[eval] static_shapes: {len(_fallback_shapes)} distinct "
+            f"input shape(s) were below the {_win}px tiling window and "
+            "ran native-size forwards (one compile each); shrink `tile` "
+            "or accept the extra compiles"
         )
     return res

@@ -106,7 +106,10 @@ def _schedule(cfg, step):
 
 def _make_tx(cfg):
     # DRCN's loss carries an L2 weight-decay term β≈1e-4 (Kim et al.
-    # CVPR'16 §4.1; reference: drcn.py loss); expressed as decoupled decay
+    # CVPR'16 §4.1; reference: drcn.py loss). add_decayed_weights BEFORE
+    # adam injects wd·θ into the gradients — i.e. loss-level L2 through
+    # Adam's preconditioner, exactly the paper's objective (NOT decoupled
+    # AdamW decay, which would chain AFTER adam)
     import optax
 
     return optax.chain(

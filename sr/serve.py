@@ -146,7 +146,12 @@ def make_server(service: SRService, port: int = 0) -> ThreadingHTTPServer:
             if self.path != "/upscale":
                 self._send(404, b'{"error": "not found"}', "application/json")
                 return
-            n = int(self.headers.get("Content-Length", 0))
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                self._send(400, b'{"error": "bad Content-Length"}',
+                           "application/json")
+                return
             if n > 64 << 20:  # bound request size (decoded images are far larger)
                 # drain the declared body first so the client sees the
                 # 413 instead of a broken pipe mid-upload

@@ -128,10 +128,13 @@ class GANTrainer:
                 perceptual = mse_loss(feat_sr, feat_hr)
                 loss = loss + w_vgg * perceptual
                 metrics["g_vgg_loss"] = perceptual
-            # adversarial term against the JUST-updated D (reference order),
-            # by default with D in TRAIN mode (batch-stat BN) as the
-            # reference runs it; mutated batch_stats are discarded — only
-            # D's own update advances its running stats
+            # adversarial term against the JUST-updated D (reference order).
+            # D's BN mode follows cfg.adv_d_train_mode — default False =
+            # EVAL mode (running stats), the measured-better choice
+            # (PARITY.md delta 10: 25.35 vs 20.84 dB); True reproduces the
+            # reference's literal train-mode module state. Mutated
+            # batch_stats are discarded either way — only D's own update
+            # advances its running stats
             logits, _ = _apply(
                 d_model, d_state.params, d_state.batch_stats, sr,
                 self.cfg.adv_d_train_mode,

@@ -86,3 +86,48 @@ def test_crop_too_large_raises():
     with pytest.raises(ValueError):
         PatchPipeline(_images(size=(48, 48)), crop_size=48, scale_factor=4,
                       batch_size=2, channels=3, random_scale=True)
+
+
+def test_crop_larger_than_corpus_raises_without_random_scale():
+    """No silent bicubic-upscaling of corpus patches into fake HR
+    (review finding): oversized crops must raise, as the random_scale
+    path already did."""
+    import numpy as np
+    import pytest
+
+    from sr.data.pipeline import PatchPipeline
+
+    imgs = [np.zeros((100, 100, 3), np.uint8)] * 2
+    with pytest.raises(ValueError, match="exceeds the corpus"):
+        PatchPipeline(imgs, crop_size=128, scale_factor=4, batch_size=2,
+                      channels=3, random_scale=False)
+
+
+def test_multiscale_crop_reduction_keeps_base_scale_divisibility():
+    """lcm reduction must include the config's base scale_factor:
+    --multi_scale 2 3 with scale_factor 4 needs crop % 12 == 0, not
+    crop % 6 == 0 (review finding: lcm(2,3)=6 yielded crop 126 which
+    crashed the sampler's %4 check)."""
+    import numpy as np
+
+    from sr.data.pipeline import build_patch_pipeline
+    from sr.models.registry import get_spec
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="VDSR", num_channels=1, scale_factor=4,
+                   crop_size=128, batch_size=2, scale_factors=(2, 3))
+    spec = get_spec("VDSR")
+    imgs = [np.zeros((300, 300, 1), np.uint8)] * 2
+    pipe = build_patch_pipeline(cfg, spec, imgs)  # must not raise
+    assert pipe.crop_size % 4 == 0
+    for s in (2, 3):
+        assert pipe.crop_size % s == 0
+
+
+def test_synthetic_cannot_be_concatenated():
+    import pytest
+
+    from sr.data.datasets import get_training_set
+
+    with pytest.raises(ValueError, match="standalone"):
+        get_training_set("/tmp", ["synthetic", "other"])
