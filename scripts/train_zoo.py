@@ -32,7 +32,8 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
 
     spec = get_spec(name)
     cfg = SRConfig(
-        model_name=name, scale_factor=scale_factor, crop_size=64,
+        model_name=name, scale_factor=scale_factor,
+        crop_size=(64 // scale_factor) * scale_factor,  # 63 for x3
         batch_size=32,
         num_channels=spec.default_channels, dtype="bfloat16",
         steps_per_epoch=min(steps, 200),
