@@ -112,6 +112,16 @@ def _device_y_psnr(sr_float, hr_u8, channels, color_space, border):
     return jnp.where(mse == 0.0, jnp.inf, val)
 
 
+def _pad_plan(ih: int, iw: int, win: int, halo: int) -> tuple[bool, bool, bool]:
+    """Shape-bucketing decision for one model input: (pad_h, pad_w,
+    fallback). A dim below the tiling window is zero-padded up to it
+    unless fewer than 8 valid model-input pixels would survive the
+    halo shave (dim ≤ halo+7) — those images run native-size."""
+    pad_h, pad_w = ih < win, iw < win
+    fallback = (pad_h and ih - halo < 8) or (pad_w and iw - halo < 8)
+    return pad_h and not fallback, pad_w and not fallback, fallback
+
+
 def evaluate(
     predict_fn,
     dataset,
@@ -142,12 +152,19 @@ def evaluate(
     compiles instead of one 40–200 s remote compile per image (SURVEY §7
     hard part 6). Numerically identical to the direct forward because the
     halo covers the model's receptive field (``model_name`` selects it
-    from sr.eval.tiling.RECEPTIVE_FIELD). CAVEAT: images smaller than the
-    window (tile + 2·halo) fall back to a native-size forward — one
-    compile per DISTINCT small shape. Raw-LR models see images at 1/r
-    scale, so small test sets (Set5 ×4) may be entirely below the
-    window; a warning reports how many compiles the fallback cost.
-    Pre-upsample models (HR-size inputs) are rarely affected.
+    from sr.eval.tiling.RECEPTIVE_FIELD).
+
+    Images smaller than the window (tile + 2·halo) are zero-padded on the
+    RIGHT/BOTTOM up to the window and the output cropped back — top/left
+    edges stay flush, so by conv locality everything farther than ``halo``
+    from a padded edge is equal to the unpadded forward. Metrics for a
+    padded image are computed over that VALID region only (the ≤halo-wide
+    band along a padded edge is excluded — it saw the pad, not the
+    network's own boundary condition). This keeps the O(1)-compile
+    guarantee unconditional: small images share ONE (1, win, win, C)
+    program. Only images so tiny that fewer than 8 valid model-input
+    pixels would remain (dim ≤ halo+7) fall back to a native-size
+    forward — one compile per distinct such shape, reported by a warning.
     """
     r = scale_factor
     border = r if shave_border is None else shave_border
@@ -163,13 +180,26 @@ def evaluate(
         _win = tile + 2 * halo
 
         def predict_fn(x, _inner=inner_fn, _halo=halo, _scale=net_scale):
-            if x.shape[1] <= _win and x.shape[2] <= _win:
-                # mirrors tiled_predict's native-size fallback condition
-                _fallback_shapes.add((x.shape[1], x.shape[2]))
-            return tiled_predict(
+            ih, iw = x.shape[1], x.shape[2]
+            pad_h, pad_w, fallback = _pad_plan(ih, iw, _win, _halo)
+            if fallback:
+                _fallback_shapes.add((ih, iw))
+            elif pad_h or pad_w:
+                # pad right/bottom only: top/left stay flush with the
+                # array edge, so the network's own 'SAME' boundary
+                # condition applies there exactly as in the unpadded
+                # forward; the output is cropped back below and metrics
+                # exclude the halo-wide band along each padded edge
+                x = np.pad(
+                    np.asarray(x),
+                    ((0, 0), (0, max(_win - ih, 0)), (0, max(_win - iw, 0)),
+                     (0, 0)),
+                )
+            out = tiled_predict(
                 _inner, x, _scale, tile=tile, halo=_halo,
                 max_tiles_per_call=8, fixed_chunk=True,
             )
+            return out[:, : ih * _scale, : iw * _scale]
 
     names = dataset.names
     for i in range(len(dataset)):
@@ -190,42 +220,60 @@ def evaluate(
         x = model_in.astype(np.float32)[None] / 255.0
         sr_dev = predict_fn(x)
 
+        # metric region for shape-bucketed padded images: drop the
+        # ≤halo-wide output band along each PADDED edge (it saw the zero
+        # pad, not the network's own boundary condition); everything
+        # else is equal to the unpadded forward by conv locality.
+        # vh/vw stay None (full image) for unpadded images.
+        vh = vw = None
+        if static_shapes:
+            ih, iw = model_in.shape[:2]
+            pad_h, pad_w, _fb = _pad_plan(ih, iw, _win, halo)
+            if pad_h:
+                vh = (ih - halo) * net_scale
+            if pad_w:
+                vw = (iw - halo) * net_scale
+        hr_v, bc_v = hr[:vh, :vw], bc[:vh, :vw]
+
         if on_device_metrics and not keep_images:
-            hr_cmp = hr[..., :1] if channels == 1 else hr
+            hr_cmp = hr_v[..., :1] if channels == 1 else hr_v
             p_sr = float(
-                _device_y_psnr(sr_dev[0], hr_cmp, channels, color_space, border)
+                _device_y_psnr(
+                    sr_dev[0][:vh, :vw], hr_cmp, channels, color_space, border
+                )
             )
-            y_hr = hr[..., 0].astype(np.float64)
+            y_hr = hr_v[..., 0].astype(np.float64)
             y_bc = (
-                bc[..., 0].astype(np.float64)
+                bc_v[..., 0].astype(np.float64)
                 if (channels == 1 or color_space != "rgb")
-                else _rgb_to_y(bc)
+                else _rgb_to_y(bc_v)
             )
             if channels == 3 and color_space == "rgb":
-                y_hr = _rgb_to_y(hr)
+                y_hr = _rgb_to_y(hr_v)
             p_bc = psnr(y_bc, y_hr, border=border)
             res.images.append(ImageResult(names[i], p_sr, p_bc))
             continue
 
         sr = np.asarray(sr_dev)[0]
         sr_u8 = np.clip(np.round(sr * 255.0), 0, 255).astype(np.uint8)
+        sr_v = sr_u8[:vh, :vw]
 
         # --- PSNR on Y (the reference's parity metric) ----------------
         if channels == 1:
             # dataset is YCbCr (or single-channel): channel 0 is Y
             y_hr, y_bc, y_sr = (
-                hr[..., 0].astype(np.float64),
-                bc[..., 0].astype(np.float64),
-                sr_u8[..., 0].astype(np.float64),
+                hr_v[..., 0].astype(np.float64),
+                bc_v[..., 0].astype(np.float64),
+                sr_v[..., 0].astype(np.float64),
             )
         else:
             if color_space == "rgb":
-                y_hr, y_bc, y_sr = map(_rgb_to_y, (hr, bc, sr_u8))
+                y_hr, y_bc, y_sr = map(_rgb_to_y, (hr_v, bc_v, sr_v))
             else:  # ycbcr-encoded dataset, 3-channel model sees YCbCr
                 y_hr, y_bc, y_sr = (
-                    hr[..., 0].astype(np.float64),
-                    bc[..., 0].astype(np.float64),
-                    sr_u8[..., 0].astype(np.float64),
+                    hr_v[..., 0].astype(np.float64),
+                    bc_v[..., 0].astype(np.float64),
+                    sr_v[..., 0].astype(np.float64),
                 )
         p_sr = psnr(y_sr, y_hr, border=border)
         p_bc = psnr(y_bc, y_hr, border=border)
@@ -254,8 +302,9 @@ def evaluate(
     if static_shapes and _fallback_shapes:
         print(
             f"[eval] static_shapes: {len(_fallback_shapes)} distinct "
-            f"input shape(s) were below the {_win}px tiling window and "
-            "ran native-size forwards (one compile each); shrink `tile` "
-            "or accept the extra compiles"
+            f"input shape(s) were too small to pad-and-mask (≤{halo + 7}px "
+            f"against a {halo}px receptive-field halo) and ran native-size "
+            "forwards (one compile each); use a smaller model or accept "
+            "the extra compiles"
         )
     return res

@@ -139,6 +139,79 @@ def test_static_shapes_bucketed_eval():
         assert a.psnr_bicubic == b.psnr_bicubic
 
 
+def test_static_shapes_pads_small_images():
+    """Images BELOW the tiling window are zero-padded up to it and scored
+    over the valid (uncontaminated) region — the whole mixed-size dataset
+    costs O(1) compiles, and each padded image's PSNR is bit-for-bit the
+    native-size forward's PSNR over the same region (VERDICT r2 #2)."""
+    import jax
+
+    from sr.data.native import resize_bicubic_u8
+    from sr.eval.metrics import modulo_crop, psnr
+    from sr.eval.runner import _pad_plan
+    from sr.models.registry import get_spec
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="ESPCN", scale_factor=2, num_channels=1,
+                   dtype="float32")
+    model = get_spec("ESPCN").make_model(cfg)
+    variables = model.init(
+        jax.random.key(0), np.zeros((1, 8, 8, 1), np.float32), train=False
+    )
+
+    def make_counting_fn():
+        traces = []
+
+        @jax.jit
+        def fn(x):
+            traces.append(x.shape)
+            return model.apply(variables, x, train=False)
+
+        return fn, traces
+
+    # LR sizes 20..150: below, at, and above the 58px window (tile 48 +
+    # 2·halo 5) — the real Set5/Set14 ×4 profile where raw-LR models see
+    # mostly sub-window inputs
+    sizes = [(40, 40), (64, 88), (120, 120), (300, 200), (46, 136)]
+    ds = _MixedSizeDataset(sizes)
+    halo, tile = 5, 48
+    win = tile + 2 * halo
+
+    fn_static, traces = make_counting_fn()
+    res = evaluate(fn_static, ds, 2, channels=1, pre_upsample=False,
+                   static_shapes=True, tile=tile, model_name="ESPCN")
+    assert len(set(traces)) <= 3, sorted(set(traces))
+
+    fn_plain, _ = make_counting_fn()
+    padded = 0
+    for img, r_img in zip(ds.imgs, res.images):
+        hr = modulo_crop(img, 2)
+        h, w = hr.shape[:2]
+        lr = resize_bicubic_u8(hr, (h // 2, w // 2))
+        sr = np.asarray(fn_plain(lr.astype(np.float32)[None] / 255.0))[0]
+        sr_u8 = np.clip(np.round(sr * 255.0), 0, 255).astype(np.uint8)
+        ih, iw = lr.shape[:2]
+        pad_h, pad_w, fb = _pad_plan(ih, iw, win, halo)
+        assert not fb
+        vh = (ih - halo) * 2 if pad_h else None
+        vw = (iw - halo) * 2 if pad_w else None
+        padded += pad_h or pad_w
+        expect = psnr(
+            sr_u8[:vh, :vw, 0].astype(np.float64),
+            hr[:vh, :vw, 0].astype(np.float64), border=2,
+        )
+        assert r_img.psnr_sr == expect, (r_img.name, r_img.psnr_sr, expect)
+    assert padded >= 3  # the small images actually took the padded path
+
+    # on-device metric path agrees on the same valid regions
+    fn2, _ = make_counting_fn()
+    res_dev = evaluate(fn2, ds, 2, channels=1, pre_upsample=False,
+                       static_shapes=True, tile=tile, model_name="ESPCN",
+                       on_device_metrics=True)
+    for a, b in zip(res.images, res_dev.images):
+        assert abs(a.psnr_sr - b.psnr_sr) < 1e-3, (a.psnr_sr, b.psnr_sr)
+
+
 def test_panels_and_logging(tmp_path):
     ds = SyntheticDataset(num_images=1, size=(32, 32), channels=3)
     hr = ds[0]
