@@ -16,6 +16,7 @@ Axes:
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -51,6 +52,30 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def spatial_sharding(mesh: Mesh) -> NamedSharding:
     """Shard H of an NHWC tensor over the 'spatial' axis (batch over 'data')."""
     return NamedSharding(mesh, P("data", "spatial"))
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully-replicated on ``mesh`` — multi-host safe.
+
+    ``jax.device_put`` rejects committed arrays when the sharding spans
+    non-addressable devices (other processes), so on a multi-host mesh
+    each leaf is rebuilt from its host-local value with
+    ``make_array_from_process_local_data`` (every process holds the same
+    value — that IS replication). Typed PRNG keys round-trip through
+    ``key_data``/``wrap_key_data`` (their raw form is what serializes).
+    """
+    sh = replicated_sharding(mesh)
+    if sh.is_fully_addressable:
+        return jax.device_put(tree, sh)
+
+    def put(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            data = jax.random.key_data(x)
+            g = jax.make_array_from_process_local_data(sh, np.asarray(data))
+            return jax.random.wrap_key_data(g)
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree.map(put, tree)
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):

@@ -9,11 +9,13 @@ tiers:
     driver's multichip dryrun;
   * multi-host (pod slices / multi-slice) — THIS module:
     ``jax.distributed.initialize`` bootstrap + host-local → global batch
-    assembly. Code-complete and unit-tested with a mocked
-    ``jax.distributed`` (no multi-host hardware in this environment);
-    on a real pod the same calls apply unchanged, because everything
-    downstream (mesh, shardings, jitted steps) already goes through
-    GSPMD and is process-count-agnostic.
+    assembly. PROCESS-LEVEL tested: tests/test_multihost.py launches a
+    genuine 2-process ``jax.distributed`` job on localhost (4 virtual
+    CPU devices per process, Gloo collectives) that forms the global
+    8-device mesh and runs one production Trainer step, equal to the
+    single-process run. On a real pod the same calls apply unchanged,
+    because everything downstream (mesh, shardings, jitted steps)
+    already goes through GSPMD and is process-count-agnostic.
 
 Bootstrap contract (mirrors JAX conventions):
 

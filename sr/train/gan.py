@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 
 from sr.models.registry import ModelSpec, get_spec
-from sr.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from sr.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated_sharding,
+)
 from sr.train.losses import bce_with_logits, mse_loss
 from sr.train.state import SRTrainState
 from sr.train.trainer import _apply
@@ -71,8 +76,8 @@ class GANTrainer:
             batch_stats=dv.get("batch_stats"), rng=None,
         )
         return (
-            jax.device_put(g_state, self._repl),
-            jax.device_put(d_state, self._repl),
+            replicate(g_state, self.mesh),
+            replicate(d_state, self.mesh),
         )
 
     # -- steps -------------------------------------------------------------

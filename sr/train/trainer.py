@@ -20,7 +20,12 @@ import jax.numpy as jnp
 import optax
 
 from sr.models.registry import ModelSpec, get_spec
-from sr.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from sr.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated_sharding,
+)
 from sr.train.state import SRTrainState
 from sr.utils.config import SRConfig
 
@@ -72,7 +77,7 @@ class Trainer:
             batch_stats=variables.get("batch_stats"),
             rng=state_rng,
         )
-        return jax.device_put(state, self._repl_sh)
+        return replicate(state, self.mesh)
 
     def num_params(self, state: SRTrainState) -> int:
         return sum(int(p.size) for p in jax.tree.leaves(state.params))
