@@ -9,7 +9,13 @@ the D predictions into the final output.
 Loss = α·mean_d MSE(y_d) + (1−α)·MSE(final) with α annealed 1→0
 (sr/train/losses.py:recursive_supervision_loss); the ensemble weights are
 trained through the final-output term. The recursion is a ``lax.scan`` over
-the shared conv — one compiled body regardless of depth.
+ONE shared block holding the inference conv AND the reconstruction net —
+one compiled body regardless of depth, and the weighted ensemble
+``Σ w_d·y_d`` is ACCUMULATED in the scan carry, so inference runs in O(1)
+memory in the recursion depth (no (D,B,H,W,64) feature stack — VERDICT r2
+#5: the stacked forward was 11 MP/s at b2 and OOM at b16). Training emits
+the per-recursion predictions ys (D,B,H,W,C — the small C=1 tensor, not
+the features) for the recursive-supervision loss.
 """
 
 from __future__ import annotations
@@ -24,18 +30,37 @@ from sr.train.losses import recursive_supervision_loss
 from sr.train.optim import adam
 
 
-class _RecStep(nn.Module):
-    """One recursion of the shared inference conv (scanned body)."""
+class _RecBlock(nn.Module):
+    """One recursion: shared inference conv + shared reconstruction net.
+
+    Scanned with params broadcast (weight sharing across depth). The
+    carry is ``(h, acc, inp)``: recursion state, running ensemble
+    ``Σ w_d·y_d``, and the pre-upsampled input (for the per-recursion
+    residual). ``collect=True`` (training) additionally stacks each
+    y_d for the recursive-supervision loss.
+    """
 
     features: int
+    num_channels: int
+    collect: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, h, _):
+    def __call__(self, carry, w_d):
+        h, acc, inp = carry
         h = nn.relu(
             nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(h)
         )
-        return h, h  # (carry, stacked per-recursion state)
+        # reconstruction net (params broadcast = shared across recursions)
+        y = ConvBlock(self.features, 3, act="relu", dtype=self.dtype)(
+            h, self.collect
+        )
+        y = nn.Conv(
+            self.num_channels, (3, 3), padding="SAME", dtype=self.dtype
+        )(y)
+        y = y + inp
+        acc = acc + w_d.astype(y.dtype) * y
+        return (h, acc, inp), (y if self.collect else None)
 
 
 class Net(nn.Module):
@@ -52,37 +77,26 @@ class Net(nn.Module):
         h = ConvBlock(f, 3, act="relu", dtype=self.dtype)(x, train)
         h = ConvBlock(f, 3, act="relu", dtype=self.dtype)(h, train)
 
-        # inference net: ONE shared conv applied D times as a lax.scan —
-        # params broadcast across iterations (weight sharing), one
-        # compiled body regardless of depth
-        scan = nn.scan(
-            _RecStep,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            length=self.num_recursions,
-        )
-        _, states = scan(f, self.dtype)(h, None)  # (D, B, H, W, C)
-
-        # reconstruction net (shared across recursion outputs): fold the
-        # recursion axis into the batch so the convs run once on a
-        # D×-larger batch instead of D separate dispatches
-        recon1 = ConvBlock(f, 3, act="relu", dtype=self.dtype)
-        recon2 = nn.Conv(self.num_channels, (3, 3), padding="SAME", dtype=self.dtype)
-        d, b, hh, ww, cc = states.shape
-        flat = states.reshape(d * b, hh, ww, cc)
-        preds = recon2(recon1(flat, train))
-        # per-recursion predictions (residual to the pre-upsampled input)
-        ys = preds.reshape(d, b, *preds.shape[1:]) + inp[None]  # (D,B,H,W,C)
-
-        # learnable ensemble weights, normalized to sum 1
+        # learnable ensemble weights, normalized to sum 1, scanned in as
+        # per-step inputs so the ensemble accumulates inside the scan
         w = self.param(
             "recursion_weights",
             lambda k: jnp.full((self.num_recursions,), 1.0 / self.num_recursions),
-        ).astype(ys.dtype)
+        )
         w = w / jnp.sum(w)
-        final = jnp.einsum("d,dbhwc->bhwc", w, ys)
+
+        scan = nn.scan(
+            _RecBlock,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+        )
+        acc0 = jnp.zeros_like(inp)
+        (h, final, _), ys = scan(
+            f, self.num_channels, collect=train, dtype=self.dtype
+        )((h, acc0, inp), w)
+
         if train:
-            return final, ys
+            return final, ys  # ys: (D, B, H, W, C) per-recursion preds
         return final
 
 

@@ -96,6 +96,25 @@ def test_drcn_train_returns_recursions():
     assert final.shape == (1, 16, 16, 1)
 
 
+def test_drcn_eval_equals_stacked_ensemble():
+    """The O(1)-memory eval accumulation ≡ the explicit weighted ensemble
+    over the train path's stacked per-recursion predictions (VERDICT r2
+    #5: eval must not stack D full-resolution tensors)."""
+    cfg, spec = _cfg("DRCN")
+    model = spec.make_model(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(5).uniform(0, 1, (2, 16, 16, 1)), jnp.float32
+    )
+    variables = model.init(jax.random.key(0), x, train=False)
+    final, ys = model.apply(variables, x, train=True)
+    ev = model.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(ev), np.asarray(final))
+    w = np.asarray(variables["params"]["recursion_weights"])
+    w = w / w.sum()
+    manual = np.einsum("d,dbhwc->bhwc", w, np.asarray(ys))
+    np.testing.assert_allclose(np.asarray(ev), manual, atol=1e-6)
+
+
 def test_lapsrn_pyramid_outputs():
     cfg, spec = _cfg("LapSRN", scale=4)
     model = spec.make_model(cfg)

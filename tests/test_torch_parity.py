@@ -120,9 +120,12 @@ def test_drcn_matches_torch():
     plan = (
         convblock_plan("ConvBlock_0")
         + convblock_plan("ConvBlock_1")
-        + [("Scan_RecStep_0/Conv_0", "conv")]  # the scanned shared conv
-        + convblock_plan("ConvBlock_2")
-        + [("Conv_0", "conv")]
+        # the scanned shared block: inference conv + reconstruction net
+        # (params broadcast across recursions; recon lives INSIDE the
+        # scan so eval accumulates the ensemble in O(1) memory)
+        + [("Scan_RecBlock_0/Conv_0", "conv")]
+        + convblock_plan("Scan_RecBlock_0/ConvBlock_0")
+        + [("Scan_RecBlock_0/Conv_1", "conv")]
     )
     transplant(v["params"], None, plan, tnet)
     with torch.no_grad():
