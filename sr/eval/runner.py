@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from sr.eval.metrics import modulo_crop, psnr, rgb_to_ycbcr, ssim
+from sr.eval.metrics import modulo_crop, psnr, rgb_to_ycbcr, ssim, ssim_device
 from sr.data.native import resize_bicubic_u8  # native when built, numpy fallback
 
 
@@ -30,7 +30,7 @@ class ImageResult:
     name: str
     psnr_sr: float
     psnr_bicubic: float
-    ssim_sr: float | None = None  # SSIM (host metric path only)
+    ssim_sr: float | None = None  # SSIM (host path f64 / device path f32)
     ssim_bicubic: float | None = None
     sr: np.ndarray | None = None  # uint8 HWC (render channels)
     bicubic: np.ndarray | None = None
@@ -84,13 +84,16 @@ def _rgb_to_y(rgb_u8: np.ndarray) -> np.ndarray:
     )
 
 
-def _device_y_psnr(sr_float, hr_u8, channels, color_space, border):
-    """Y-channel PSNR computed ON DEVICE — only a scalar leaves the chip.
+def _device_y_metrics(sr_float, hr_u8, channels, color_space, border):
+    """Y-channel PSNR + SSIM computed ON DEVICE — only scalars leave the
+    chip.
 
     Matters both for production (no host round-trip of full images) and
     for this environment (relay D2H runs at ~180 KB/s). Replicates the
-    host path exactly up to f32 reduction error (≤1e-4 dB on real image
-    sizes; locked by tests/test_eval.py).
+    host path exactly up to f32 reduction error (≤1e-4 dB PSNR, ≤1e-5
+    SSIM on real image sizes; locked by tests/test_eval.py and
+    tests/test_metrics.py). SSIM is None when the shaved image is
+    smaller than the 11×11 window (host-path convention).
     """
     import jax.numpy as jnp
 
@@ -109,7 +112,13 @@ def _device_y_psnr(sr_float, hr_u8, channels, color_space, border):
     mse = jnp.mean((y_sr - y_hr) ** 2)
     val = 20.0 * jnp.log10(255.0 / jnp.sqrt(jnp.maximum(mse, 1e-20)))
     # match the host path on perfect reconstruction (inf, not ~248 dB)
-    return jnp.where(mse == 0.0, jnp.inf, val)
+    p = jnp.where(mse == 0.0, jnp.inf, val)
+    s = (
+        ssim_device(y_sr, y_hr)
+        if y_sr.shape[0] >= 11 and y_sr.shape[1] >= 11
+        else None
+    )
+    return p, s
 
 
 def _pad_plan(ih: int, iw: int, win: int, halo: int) -> tuple[bool, bool, bool]:
@@ -142,9 +151,10 @@ def evaluate(
     ``predict_fn(x)`` maps a (1,h,w,channels) float32 [0,1] batch to the
     SR output batch. ``color_space`` describes how dataset images are
     encoded ('ycbcr' per the reference loader, or 'rgb' — synthetic).
-    ``on_device_metrics`` computes the SR PSNR on device and transfers
-    only the scalar (use when D2H bandwidth is the bottleneck; implies
-    the SR image itself is only fetched when ``keep_images``).
+    ``on_device_metrics`` computes the SR PSNR **and SSIM** on device
+    and transfers only the scalars (use when D2H bandwidth is the
+    bottleneck; implies the SR image itself is only fetched when
+    ``keep_images``).
 
     ``static_shapes`` routes every image through exact halo-tiled
     inference with ONE fixed window/batch shape, so a mixed-size dataset
@@ -237,11 +247,11 @@ def evaluate(
 
         if on_device_metrics and not keep_images:
             hr_cmp = hr_v[..., :1] if channels == 1 else hr_v
-            p_sr = float(
-                _device_y_psnr(
-                    sr_dev[0][:vh, :vw], hr_cmp, channels, color_space, border
-                )
+            p_dev, s_dev = _device_y_metrics(
+                sr_dev[0][:vh, :vw], hr_cmp, channels, color_space, border
             )
+            p_sr = float(p_dev)
+            s_sr = float(s_dev) if s_dev is not None else None
             y_hr = hr_v[..., 0].astype(np.float64)
             y_bc = (
                 bc_v[..., 0].astype(np.float64)
@@ -251,7 +261,14 @@ def evaluate(
             if channels == 3 and color_space == "rgb":
                 y_hr = _rgb_to_y(hr_v)
             p_bc = psnr(y_bc, y_hr, border=border)
-            res.images.append(ImageResult(names[i], p_sr, p_bc))
+            try:
+                s_bc = ssim(y_bc, y_hr, border=border)
+            except ValueError:  # smaller than the 11x11 SSIM window
+                s_bc = None
+            res.images.append(
+                ImageResult(names[i], p_sr, p_bc, ssim_sr=s_sr,
+                            ssim_bicubic=s_bc)
+            )
             continue
 
         sr = np.asarray(sr_dev)[0]

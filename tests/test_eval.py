@@ -71,6 +71,11 @@ def test_on_device_metrics_match_host():
     for a, b in zip(host.images, dev.images):
         assert abs(a.psnr_sr - b.psnr_sr) < 1e-3, (a.psnr_sr, b.psnr_sr)
         assert a.psnr_bicubic == b.psnr_bicubic
+        # fast eval now reports SSIM too (VERDICT r2 #4)
+        assert b.ssim_sr is not None
+        assert abs(a.ssim_sr - b.ssim_sr) < 1e-4, (a.ssim_sr, b.ssim_sr)
+        assert b.ssim_bicubic == a.ssim_bicubic
+    assert "ssim_sr" in dev.summary()
 
     # rgb color space path
     host = evaluate(blurry, ds, scale_factor=4, channels=3, pre_upsample=True,
