@@ -26,7 +26,12 @@ from sr.eval.panels import plot_loss, plot_test_result, save_img
 from sr.eval.runner import EvalResult, evaluate
 from sr.models.registry import get_spec
 from sr.train.trainer import Trainer
-from sr.utils.checkpoint import Checkpointer, load_params, save_params
+from sr.utils.checkpoint import (
+    Checkpointer,
+    load_params,
+    run_meta,
+    save_params,
+)
 from sr.utils.config import SRConfig
 
 
@@ -80,7 +85,8 @@ class ModelWrapper:
         rng = jax.random.key(cfg.seed)
         b0 = pipe(rng)
         state = self.trainer.init_state(rng, b0[self.spec.input_key()][:1])
-        ck = Checkpointer(self._ckpt_dir(), keep=cfg.keep_checkpoints)
+        ck = Checkpointer(self._ckpt_dir(), keep=cfg.keep_checkpoints,
+                          meta=run_meta(cfg))
         if cfg.resume:
             restored = ck.restore(state)
             if restored is not None:
@@ -226,10 +232,12 @@ class SRGAN(ModelWrapper):
         rng = jax.random.key(cfg.seed)
         b0 = pipe(rng)
         g, d = self.gan.init_states(rng, b0["lr"][:1], b0["hr"][:1])
-        ck = Checkpointer(self._ckpt_dir(), keep=cfg.keep_checkpoints)
+        ck = Checkpointer(self._ckpt_dir(), keep=cfg.keep_checkpoints,
+                          meta=run_meta(cfg))
         # mirror sr/main.py: D gets its own checkpointer so a resumed run
         # continues against the trained discriminator, not a fresh one
-        ck_d = Checkpointer(self._ckpt_dir() + "_d", keep=cfg.keep_checkpoints)
+        ck_d = Checkpointer(self._ckpt_dir() + "_d",
+                            keep=cfg.keep_checkpoints, meta=run_meta(cfg))
         if cfg.resume:
             restored = ck.restore(g)
             if restored is not None:

