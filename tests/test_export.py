@@ -64,3 +64,36 @@ def test_export_static_batch_rejects_other_batch(tmp_path):
     fn_call = exp.call
     with pytest.raises(Exception):
         fn_call(jnp.zeros((2, 8, 8, 1), jnp.float32))
+
+
+def test_bundle_roundtrip(tmp_path):
+    """Multi-bucket bundle: one file, N input sizes, embedded metadata;
+    legacy single artifacts still load through the same reader."""
+    from sr.export import export_bundle, load_bundle, save_bundle
+
+    path, model, variables, c = _tiny_params(
+        tmp_path, "ESPCN", num_channels=1)
+    meta, exports = export_bundle(
+        "ESPCN", path, scale_factor=4, num_channels=1, dtype="float32",
+        lr_sizes=(8, 12))
+    art = str(tmp_path / "espcn.srbundle")
+    save_bundle(art, meta, exports)
+
+    meta2, buckets = load_bundle(art)
+    assert meta2["model_name"] == "ESPCN"
+    assert meta2["scale_factor"] == 4
+    assert meta2["net_scale"] == 4
+    assert [(h, w) for h, w, _ in buckets] == [(8, 8), (12, 12)]
+    for h, w, fn in buckets:
+        x = jax.random.uniform(jax.random.key(h), (1, h, w, c))
+        want = np.asarray(model.apply(variables, x, train=False))
+        np.testing.assert_allclose(np.asarray(fn(x)), want, atol=1e-5)
+
+    # legacy single artifact through the same loader
+    exp = export_predict("ESPCN", path, scale_factor=4, dtype="float32",
+                         lr_size=8)
+    legacy = str(tmp_path / "legacy.hloart")
+    save_artifact(legacy, exp)
+    meta3, buckets3 = load_bundle(legacy)
+    assert meta3 is None
+    assert [(h, w) for h, w, _ in buckets3] == [(8, 8)]

