@@ -286,6 +286,7 @@ def build_patch_pipeline(cfg, spec, images: list[np.ndarray]) -> PatchPipeline:
         batch_size=cfg.batch_size, channels=cfg.num_channels,
         pre_upsample=spec.pre_upsample, random_scale=random_scale,
         scale_factors=scale_factors,
+        random_scale_mode=getattr(cfg, "random_scale_mode", "item"),
     )
 
 

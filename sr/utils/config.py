@@ -34,6 +34,10 @@ class SRConfig:
     train_dataset: str = "bsds300"
     test_dataset: str = "Set5"
     num_threads: int = 0  # kept for CLI parity; the pipeline is on-device
+    # sampler random-scale draw: 'item' (reference behavior, per sample)
+    # or 'batch' (one draw per batch — measured 1.37x faster stepping for
+    # small models where the sampler dominates, e.g. ESPCN; PERF.md)
+    random_scale_mode: str = "item"
 
     # -- model hyperparameters (per-model defaults applied by registry) --
     base_filter: int = 64
