@@ -93,6 +93,10 @@ def main():
         "plateau10x": dict(decay_epochs=200),
         "clip_0.05": dict(clip_theta=0.05),
         "clip_4.0": dict(clip_theta=4.0),
+        # refinement round: bracket the clip sweet spot + combine winners
+        "clip_0.01": dict(clip_theta=0.01),
+        "clip_0.1": dict(clip_theta=0.1),
+        "clip_0.05_plateau": dict(clip_theta=0.05, decay_epochs=200),
     }
     rows = []
     for name, kw in arms.items():

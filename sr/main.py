@@ -66,6 +66,9 @@ def parse_args(argv=None) -> SRConfig:
                         "--multi_scale 2 3 4 (VDSR/DRCN)")
     p.add_argument("--steps_per_dispatch", type=int, default=d.steps_per_dispatch,
                    help=">1 fuses K steps + sampling into one program")
+    p.add_argument("--vdsr_clip_theta", type=float, default=d.vdsr_clip_theta,
+                   help="VDSR adjustable-clip θ (0.05 measured best; 0.4 "
+                        "= literal reference recipe)")
     p.add_argument("--random_scale_mode", default=d.random_scale_mode,
                    choices=["item", "batch"],
                    help="sampler scale draw: per item (reference) or per "
@@ -97,6 +100,7 @@ def parse_args(argv=None) -> SRConfig:
         scale_factors=tuple(a.multi_scale) if a.multi_scale else (),
         steps_per_dispatch=a.steps_per_dispatch,
         random_scale_mode=a.random_scale_mode,
+        vdsr_clip_theta=a.vdsr_clip_theta,
     )
     return check_args(cfg), (a.eval_only, a.fast_eval, a.export)
 

@@ -4,6 +4,11 @@
 pre-upsampled input (multi-scale capable: one net serves ×2/×3/×4).
 Recipe: SGD momentum 0.9, weight decay 1e-4, lr 0.1 decayed ×0.1 every
 20 epochs, adjustable gradient clipping θ/γ (sr/train/optim.py).
+θ defaults to the measured-better 0.05 instead of the reference's 0.4 —
+a 7-arm A/B isolated the clip threshold (not the lr schedule) as VDSR's
+quality cap: 20.59 dB (θ=0.4) vs 21.65 (θ=0.05) on the identical run;
+θ=4.0 diverges (results_vdsr_ablation*.json; PARITY.md delta 11).
+Set ``vdsr_clip_theta=0.4`` for literal reference behavior.
 """
 
 from __future__ import annotations
@@ -49,7 +54,10 @@ SPEC = register(
         name="VDSR",
         make_model=_make,
         loss=_loss,
-        make_tx=lambda cfg: vdsr_sgd(cfg.effective_lr, cfg.steps_per_epoch),
+        make_tx=lambda cfg: vdsr_sgd(
+            cfg.effective_lr, cfg.steps_per_epoch,
+            clip_theta=getattr(cfg, "vdsr_clip_theta", 0.05),
+        ),
         pre_upsample=True,
         default_channels=1,
         default_lr=0.1,

@@ -45,6 +45,13 @@ class SRConfig:
     num_recursions: int = 16  # DRCN
     num_pyramid_convs: int = 5  # LapSRN feature convs per level
     res_scale: float = 1.0  # EDSR residual scaling
+    # VDSR adjustable-clip θ (update global-norm ≤ θ). The reference
+    # recipe's 0.4 sits at the edge of stability and caps VDSR ~1.4 dB
+    # below what the same run reaches at 0.05 (measured 4-arm +
+    # refinement A/B, results_vdsr_ablation*.json; θ=4.0 diverges
+    # outright). Default is the measured-better 0.05; set 0.4 for
+    # literal reference behavior (PARITY.md delta 11).
+    vdsr_clip_theta: float = 0.05
 
     # -- SRGAN ------------------------------------------------------------
     pretrain_epochs: int = 10
