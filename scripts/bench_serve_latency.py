@@ -66,17 +66,21 @@ def main() -> None:
     for name, fn in fns.items():
         rows = {}
         # --- default layout (baseline) ---
+        print(f"[stage] {name}: compile default", file=sys.stderr, flush=True)
         jfn = jax.jit(fn)
         prof = op_profile(jfn, x, iters=5)
         total = sum(o["ms_per_iter"] for o in prof["ops"])
         rows["default"] = {"total_ms": round(total, 2),
                            "layout_ms": round(relayout_ms(prof["ops"]), 2)}
         # --- AUTO input layout + pre-placed input ---
+        print(f"[stage] {name}: compile AUTO", file=sys.stderr, flush=True)
         afn = jax.jit(fn, in_shardings=L.Format(L.Layout.AUTO))
         compiled = afn.lower(x).compile()
         fmt = compiled.input_formats[0][0]
         xa = jax.device_put(x, fmt)
-        prof_a = op_profile(afn, xa, iters=5)
+        # call the compiled executable directly: a fresh afn(xa) call
+        # re-traces and AUTO cannot bind a concrete-layout argument
+        prof_a = op_profile(compiled, xa, iters=5)
         total_a = sum(o["ms_per_iter"] for o in prof_a["ops"])
         rows["auto"] = {"total_ms": round(total_a, 2),
                         "layout_ms": round(relayout_ms(prof_a["ops"]), 2),
