@@ -7,6 +7,10 @@
 set -u
 cd "$(dirname "$0")/.."
 
+# any future SIGABRT dumps the Python stacks of all threads — the
+# round-2/3 flake investigation's standing instrumentation
+export PYTHONFAULTHANDLER=1
+
 python -m pytest tests/ -m "not mesh" -q "$@"
 rc_bulk=$?
 
