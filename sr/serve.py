@@ -15,9 +15,17 @@ Wraps the two serving surfaces in one stdlib HTTP server:
     ``--scale_factor`` contradicting the bundle's embedded scale is
     rejected at startup.
 
+Concurrent artifact-mode requests that land in the same bucket are
+MICRO-BATCHED: a leader thread lingers a few ms, stacks every queued
+image into one batch, and runs ONE device dispatch (the bundle's
+symbolic batch dim makes any stack size one compiled program). On a
+dispatch-latency-dominated TPU (~25 ms fixed per dispatch here) this is
+the difference between N×25 ms of serialized dispatches and one.
+
 Endpoints:
   GET  /healthz          -> {"ok": true}
   GET  /info             -> serving config (mode, model, input contract)
+  GET  /metrics          -> request/error/latency/batching counters
   POST /upscale          -> request body: PNG/JPEG bytes;
                             response: image/png of the upscaled image
 
@@ -31,9 +39,107 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+class MicroBatcher:
+    """Leader/follower request coalescing per static-shape bucket.
+
+    ``run(key, fn, x)``: the first thread to enqueue for ``key``
+    becomes the leader — it sleeps ``linger_s``, takes everything
+    queued for that bucket, runs ``fn`` on the stacked batch (in
+    chunks of ``max_batch``), and hands each caller its slice.
+    Followers block on an event. Exceptions propagate to every caller
+    in the batch.
+    """
+
+    def __init__(self, max_batch: int = 32, linger_s: float = 0.003):
+        self.max_batch = max_batch
+        self.linger_s = linger_s
+        self._lock = threading.Lock()
+        self._queues: dict = {}
+        self.dispatches = 0
+        self.batched_requests = 0  # requests that shared a dispatch
+
+    def run(self, key, fn, x: np.ndarray) -> np.ndarray:
+        item = {"x": x, "evt": threading.Event(), "out": None, "err": None}
+        with self._lock:
+            q = self._queues.setdefault(key, [])
+            q.append(item)
+            leader = len(q) == 1
+        if not leader:
+            item["evt"].wait()
+            if item["err"] is not None:
+                raise item["err"]
+            return item["out"]
+        if self.linger_s:
+            time.sleep(self.linger_s)
+        with self._lock:
+            batch = self._queues.pop(key)
+        try:
+            for start in range(0, len(batch), self.max_batch):
+                chunk = batch[start : start + self.max_batch]
+                ys = np.asarray(
+                    fn(np.concatenate([b["x"] for b in chunk], axis=0)),
+                    np.float32,
+                )
+                for i, b in enumerate(chunk):
+                    b["out"] = ys[i : i + 1]
+                with self._lock:
+                    self.dispatches += 1
+                    if len(chunk) > 1:
+                        self.batched_requests += len(chunk)
+        except Exception as e:  # noqa: BLE001 — deliver to every caller
+            for b in batch:
+                b["err"] = e
+        finally:
+            for b in batch:
+                b["evt"].set()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["out"]
+
+
+class ServeStats:
+    """Thread-safe request counters + bounded latency reservoir."""
+
+    def __init__(self, keep: int = 1024):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.errors = 0
+        self._lat = []
+        self._keep = keep
+
+    def record(self, ms: float, error: bool) -> None:
+        with self._lock:
+            self.requests += 1
+            if error:
+                self.errors += 1
+            else:
+                self._lat.append(ms)
+                if len(self._lat) > self._keep:
+                    del self._lat[: len(self._lat) - self._keep]
+
+    def snapshot(self, batcher: MicroBatcher | None) -> dict:
+        with self._lock:
+            lat = sorted(self._lat)
+            out = {"requests_total": self.requests,
+                   "errors_total": self.errors}
+            if lat:
+                def pct(p):
+                    return round(lat[min(len(lat) - 1,
+                                         int(p * len(lat)))], 2)
+                out["latency_ms"] = {
+                    "p50": pct(0.50), "p90": pct(0.90), "p99": pct(0.99),
+                    "mean": round(sum(lat) / len(lat), 2),
+                }
+        if batcher is not None:
+            out["device_dispatches"] = batcher.dispatches
+            out["batched_requests"] = batcher.batched_requests
+        return out
 
 
 class SRService:
@@ -41,7 +147,8 @@ class SRService:
 
     def __init__(self, model_name=None, params=None, artifact=None,
                  scale_factor: int | None = None, fused: bool = True,
-                 num_channels: int | None = None):
+                 num_channels: int | None = None,
+                 micro_batch: bool = True, linger_ms: float = 3.0):
         if (artifact is None) == (model_name is None):
             raise ValueError("pass either --artifact or --model_name+--params")
         self.mode = "artifact" if artifact else "model"
@@ -49,6 +156,11 @@ class SRService:
         self.fused = fused
         self.num_channels = num_channels
         self.params = params
+        self.stats = ServeStats()
+        self.batcher = (
+            MicroBatcher(linger_s=linger_ms / 1e3)
+            if (micro_batch and artifact) else None
+        )
         if artifact:
             from sr.export import load_bundle
 
@@ -155,7 +267,12 @@ class SRService:
         x = net_in.astype(np.float32) / 255.0
         if (bh, bw) != (mh, mw):
             x = np.pad(x, ((0, bh - mh), (0, bw - mw), (0, 0)), mode="edge")
-        sr = np.asarray(fn(x[None]), np.float32)[0][:out_h, :out_w]
+        if self.batcher is not None:
+            # concurrent same-bucket requests share ONE device dispatch
+            out = self.batcher.run((bh, bw), fn, x[None])
+        else:
+            out = fn(x[None])
+        sr = np.asarray(out, np.float32)[0][:out_h, :out_w]
         sr_u8 = np.clip(np.round(sr * 255.0), 0, 255).astype(np.uint8)
         if c == 1:
             from sr.eval.metrics import ycbcr_to_rgb
@@ -209,6 +326,10 @@ def make_server(service: SRService, port: int = 0,
             elif self.path == "/info":
                 self._send(200, json.dumps(service.info()).encode(),
                            "application/json")
+            elif self.path == "/metrics":
+                snap = service.stats.snapshot(service.batcher)
+                self._send(200, json.dumps(snap).encode(),
+                           "application/json")
             else:
                 self._send(404, b'{"error": "not found"}', "application/json")
 
@@ -235,12 +356,15 @@ def make_server(service: SRService, port: int = 0,
                            "application/json")
                 return
             data = self.rfile.read(n)
+            t0 = time.perf_counter()
             try:
                 png = service.upscale_bytes(data)
             except Exception as e:  # noqa: BLE001 — report, don't crash the server
+                service.stats.record((time.perf_counter() - t0) * 1e3, True)
                 self._send(400, json.dumps({"error": str(e)}).encode(),
                            "application/json")
                 return
+            service.stats.record((time.perf_counter() - t0) * 1e3, False)
             self._send(200, png, "image/png")
 
     return ThreadingHTTPServer((host, port), Handler)
@@ -268,6 +392,12 @@ def main(argv=None) -> int:
     p.add_argument("--num_channels", type=int, default=None)
     p.add_argument("--no_fused", action="store_true",
                    help="serve the exact graph instead of the fast tail")
+    p.add_argument("--no_micro_batch", action="store_true",
+                   help="disable coalescing of concurrent same-bucket "
+                        "artifact requests into one device dispatch")
+    p.add_argument("--linger_ms", type=float, default=3.0,
+                   help="micro-batch window: how long the first request "
+                        "of a bucket waits for company")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--host", default="127.0.0.1",
                    help="bind address (default loopback; 0.0.0.0 exposes "
@@ -277,6 +407,7 @@ def main(argv=None) -> int:
         model_name=a.model_name, params=a.params, artifact=a.artifact,
         scale_factor=a.scale_factor, fused=not a.no_fused,
         num_channels=a.num_channels,
+        micro_batch=not a.no_micro_batch, linger_ms=a.linger_ms,
     )
     httpd = make_server(service, a.port, a.host)
     print(f"serving {service.info()} on "

@@ -2,6 +2,7 @@
 
 import http.client
 import io
+import json
 
 import numpy as np
 import pytest
@@ -202,3 +203,62 @@ def test_serve_artifact_chroma_matches_model_mode(tmp_path, espcn_params):
     # model mode's default bf16 compute (same conventions either side)
     assert not (a[..., 0] == a[..., 1]).all()
     assert np.abs(a.astype(int) - m.astype(int)).max() <= 1
+
+
+def test_serve_micro_batching_and_metrics(tmp_path, espcn_params):
+    """Concurrent same-bucket requests coalesce into fewer device
+    dispatches (leader/follower micro-batching over the bundle's
+    symbolic batch dim), outputs match the sequential path, and
+    /metrics reports the counters."""
+    import threading
+
+    from sr.export import export_bundle, save_bundle
+
+    meta, exports = export_bundle(
+        "ESPCN", espcn_params, scale_factor=4, num_channels=1,
+        dtype="float32", lr_sizes=(8,))
+    art = str(tmp_path / "espcn_mb.srbundle")
+    save_bundle(art, meta, exports)
+
+    # generous linger so all threads join the leader's batch on a 1-CPU host
+    service = SRService(artifact=art, micro_batch=True, linger_ms=300.0)
+    httpd, port = serve_background(service)
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 255, (8, 8, 3), np.uint8) for _ in range(6)]
+
+    # sequential reference through a second, non-batching service
+    ref_service = SRService(artifact=art, micro_batch=False)
+    refs = [ref_service.upscale_bytes(_png_bytes(im)) for im in imgs]
+
+    results = [None] * len(imgs)
+
+    def post(i):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/upscale", body=_png_bytes(imgs[i]))
+        resp = conn.getresponse()
+        results[i] = (resp.status, resp.read())
+        conn.close()
+
+    try:
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(len(imgs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert all(r is not None and r[0] == 200 for r in results), results
+        for (_, got), ref in zip(results, refs):
+            assert got == ref  # byte-identical to the unbatched path
+        assert service.batcher.dispatches < len(imgs), (
+            service.batcher.dispatches)
+        assert service.batcher.batched_requests >= 2
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/metrics")
+        snap = json.loads(conn.getresponse().read())
+        assert snap["requests_total"] == len(imgs)
+        assert snap["errors_total"] == 0
+        assert snap["device_dispatches"] == service.batcher.dispatches
+        assert "latency_ms" in snap and snap["latency_ms"]["p50"] > 0
+    finally:
+        httpd.shutdown()
