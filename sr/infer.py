@@ -24,12 +24,19 @@ from sr.utils.checkpoint import load_params
 from sr.utils.config import SRConfig
 
 
-def make_serving_predict(model, variables, fused: bool):
+def make_serving_predict(model, variables, fused: bool,
+                         quantize: bool = False):
     """ONE place for the serving-variant policy, shared by sr.infer and
     sr.export: ``fused`` picks the collapsed affine tail where the tail
     is affine (EDSR), else the exact phase-folded tail (SRResNet/SRGAN);
     models without a PS tail (or when ``fused=False``) run the exact
-    graph."""
+    graph. ``quantize`` runs every conv as int8 on the exact-topology
+    graph (sr.quant; takes precedence over ``fused`` — the tail
+    rewrites assume f32/bf16 conv algebra)."""
+    if quantize:
+        from sr.quant import make_quantized_predict
+
+        return make_quantized_predict(model, variables)
     if fused and hasattr(model, "tail"):
         try:
             # affine tails (EDSR) collapse to one conv (interior-exact)
@@ -48,7 +55,7 @@ def make_serving_predict(model, variables, fused: bool):
 @functools.lru_cache(maxsize=8)
 def _load(model_name: str, params_path: str, params_mtime: float,
           scale_factor: int, num_channels: int | None, dtype: str,
-          fused: bool):
+          fused: bool, quantize: bool = False):
     # params_mtime keys the cache so a re-exported file at the same path
     # is picked up instead of serving stale weights
     del params_mtime
@@ -62,7 +69,7 @@ def _load(model_name: str, params_path: str, params_mtime: float,
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
 
-    fn = make_serving_predict(model, variables, fused)
+    fn = make_serving_predict(model, variables, fused, quantize)
     return spec, channels, fn
 
 
@@ -75,6 +82,7 @@ def upscale(
     dtype: str = "bfloat16",
     tile: int | None = 256,
     fused: bool = False,
+    quantize: bool = False,
     color_space: str = "rgb",
 ) -> np.ndarray:
     """Super-resolve a uint8 (H, W[, C]) image → uint8 (rH, rW, C).
@@ -82,7 +90,9 @@ def upscale(
     ``tile``: route images larger than this through exact halo-tiled
     inference (None = always full-image). ``fused``: use the collapsed
     affine tail where the model supports it (interior-identical, faster;
-    see sr/kernels/fused_tail.py). ``color_space`` declares how a
+    see sr/kernels/fused_tail.py). ``quantize``: int8 convs for the
+    forward (sr.quant — ~0.007 dB, int8 weight literals in the
+    executable). ``color_space`` declares how a
     3-channel ``img`` is encoded ('rgb' or 'ycbcr'); 1-channel models
     super-resolve the LUMA channel (converting from RGB when needed),
     merge bicubic-upscaled chroma back, and return the input encoding.
@@ -96,7 +106,7 @@ def upscale(
 
     spec, channels, fn = _load(
         model_name, params_path, os.path.getmtime(params_path),
-        scale_factor, num_channels, dtype, fused,
+        scale_factor, num_channels, dtype, fused, quantize,
     )
     if img.ndim == 2:
         img = img[:, :, None]

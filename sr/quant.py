@@ -1,0 +1,129 @@
+"""Int8 post-training quantization for serving (dynamic-range PTQ).
+
+TPU MXUs have an s8xs8 -> s32 systolic path at 2x the bf16 rate on
+paper; measured on this v5-lite via XLA's conv lowering the end-to-end
+throughput is ~parity with bf16 (PERF.md round-3 entry), so the shipped
+win is FOOTPRINT, not speed: the executable embeds int8 weight literals
+(weights halve vs bf16, quarter vs f32 — smaller artifacts, half the
+weight-side HBM traffic) at a measured quality cost of ~0.007 dB. The
+reference collection has no quantization story (reference: each
+wrapper's ``test()`` serves fp32); this module adds one the TPU-native
+way:
+
+* **Weights**: per-output-channel symmetric int8, computed from the f32
+  params at trace time — XLA constant-folds the rounding, so the
+  executable embeds int8 literals and the HBM weight traffic halves.
+* **Activations**: per-tensor symmetric int8 with a *dynamic* scale
+  (``amax/127`` computed on device per call). No calibration corpus
+  needed, no accuracy cliff from a stale static range; the amax reduce
+  is noise next to the conv it feeds.
+* **Accumulation**: exact int32 (``preferred_element_type``), then one
+  f32 rescale ``(s_x * s_w)`` + bias — the standard MXU int8 contract.
+
+Mechanism: ``flax.linen.intercept_methods`` swaps every ``nn.Conv``
+call for the int8 path *without touching any model code* — one
+interceptor covers the whole zoo (SRCNN/VDSR/DRCN/ESPCN/EDSR/SRResNet/
+SRGAN generators are pure-Conv). ``nn.ConvTranspose`` (FSRCNN's deconv,
+LapSRN's pyramid) passes through in the compute dtype: deconvs are a
+tiny FLOP share and their scatter lowering does not hit the int8 MXU
+path, so quantizing them buys nothing.
+
+Quality: dynamic per-tensor activation + per-channel weight int8 cost
+a trained ESPCN 0.007 dB on its eval batch (measured; see PERF.md and
+tests/test_quant.py). Use for serving, never for training. Exposed as
+``quantize=True`` on sr.infer.upscale / sr.export.export_* and
+``--quantize`` on sr.serve.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_EPS = 1e-12
+
+
+def _as_pair(v) -> tuple:
+    if isinstance(v, int):
+        return (v, v)
+    return tuple(v)
+
+
+def quantize_kernel(kernel: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-output-channel symmetric int8: (kh, kw, cin, cout) f32 ->
+    (int8 kernel, f32 per-channel scale[cout])."""
+    k32 = kernel.astype(jnp.float32)
+    s = jnp.max(jnp.abs(k32), axis=(0, 1, 2)) / 127.0
+    s = jnp.maximum(s, _EPS)
+    q = jnp.clip(jnp.round(k32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def quantize_activation(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-tensor symmetric int8 with a dynamic (on-device) scale."""
+    x32 = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(x32)) / 127.0
+    s = jnp.maximum(s, _EPS)
+    q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def int8_conv(x: jax.Array, m: nn.Conv) -> jax.Array:
+    """Run a bound ``nn.Conv`` module's conv as s8 x s8 -> s32 with an
+    f32 rescale; mirrors the module's geometry (strides/padding/groups)
+    exactly."""
+    params = m.variables["params"]
+    kernel = params["kernel"]
+    q_w, s_w = quantize_kernel(kernel)
+    q_x, s_x = quantize_activation(x)
+    strides = _as_pair(m.strides or 1)
+    padding = m.padding if isinstance(m.padding, str) else [
+        _as_pair(p) for p in m.padding
+    ]
+    y = lax.conv_general_dilated(
+        q_x, q_w, window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=m.feature_group_count,
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (s_x * s_w)
+    if m.use_bias:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _interceptor(next_fun, args, kwargs, context):
+    m = context.module
+    if (
+        type(m) is nn.Conv
+        and context.method_name == "__call__"
+        and len(args) == 1
+        and getattr(args[0], "ndim", 0) == 4
+        and _as_pair(m.kernel_size)[0] == _as_pair(m.kernel_size)[1]
+        and (m.kernel_dilation in (1, None) or
+             _as_pair(m.kernel_dilation) == (1, 1))
+        and (m.input_dilation in (1, None) or
+             _as_pair(m.input_dilation) == (1, 1))
+    ):
+        return int8_conv(args[0], m)
+    return next_fun(*args, **kwargs)
+
+
+def quantized_apply(model: nn.Module, variables: dict, x: jax.Array,
+                    **apply_kwargs) -> Any:
+    """``model.apply`` with every eligible ``nn.Conv`` running int8."""
+    with nn.intercept_methods(_interceptor):
+        return model.apply(variables, x, **apply_kwargs)
+
+
+def make_quantized_predict(model: nn.Module, variables: dict):
+    """Jitted serving forward with int8 convs. ``variables`` are closed
+    over, so XLA folds the weight quantization at compile time and the
+    executable carries int8 weight literals."""
+    return jax.jit(
+        lambda x: quantized_apply(model, variables, x, train=False)
+    )

@@ -148,9 +148,16 @@ class SRService:
     def __init__(self, model_name=None, params=None, artifact=None,
                  scale_factor: int | None = None, fused: bool = True,
                  num_channels: int | None = None,
-                 micro_batch: bool = True, linger_ms: float = 3.0):
+                 micro_batch: bool = True, linger_ms: float = 3.0,
+                 quantize: bool = False):
         if (artifact is None) == (model_name is None):
             raise ValueError("pass either --artifact or --model_name+--params")
+        if quantize and artifact is not None:
+            # artifacts are pre-lowered; int8 is baked at export time
+            raise ValueError(
+                "--quantize applies to model mode; for artifacts, export "
+                "with quantize=True (sr.export)")
+        self.quantize = quantize
         self.mode = "artifact" if artifact else "model"
         self.model_name = model_name
         self.fused = fused
@@ -295,7 +302,8 @@ class SRService:
 
             out = upscale(img, self.model_name, self.params,
                           scale_factor=self.scale_factor,
-                          num_channels=self.num_channels, fused=self.fused)
+                          num_channels=self.num_channels, fused=self.fused,
+                          quantize=self.quantize)
         buf = io.BytesIO()
         Image.fromarray(out).save(buf, format="PNG")
         return buf.getvalue()
@@ -392,6 +400,9 @@ def main(argv=None) -> int:
     p.add_argument("--num_channels", type=int, default=None)
     p.add_argument("--no_fused", action="store_true",
                    help="serve the exact graph instead of the fast tail")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 convs (model mode): int8 weight literals "
+                        "in the executable, ~0.007 dB quality cost")
     p.add_argument("--no_micro_batch", action="store_true",
                    help="disable coalescing of concurrent same-bucket "
                         "artifact requests into one device dispatch")
@@ -408,6 +419,7 @@ def main(argv=None) -> int:
         scale_factor=a.scale_factor, fused=not a.no_fused,
         num_channels=a.num_channels,
         micro_batch=not a.no_micro_batch, linger_ms=a.linger_ms,
+        quantize=a.quantize,
     )
     httpd = make_server(service, a.port, a.host)
     print(f"serving {service.info()} on "

@@ -1,0 +1,227 @@
+"""Int8 PTQ serving path (sr/quant.py).
+
+Strategy: the quantized conv is EXACT when weights and activations
+already lie on the int8 grid (q * scale with |q| <= 127), so correctness
+of the geometry + int32 accumulation + rescale is tested bit-tight,
+separately from the (lossy, measured-in-PERF.md) rounding step.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sr.quant import (
+    int8_conv,
+    make_quantized_predict,
+    quantize_activation,
+    quantize_kernel,
+    quantized_apply,
+)
+
+
+def _grid(rng, shape, scale):
+    """Values exactly representable as int8 * scale, with the range
+    pinned (a 127 present) so dynamic requantization recovers ``scale``
+    exactly."""
+    q = rng.integers(-127, 128, size=shape).astype(np.float32)
+    q.flat[0] = 127
+    return jnp.asarray(q * scale)
+
+
+def test_quantize_kernel_roundtrip_bound():
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.normal(size=(3, 3, 8, 16)).astype(np.float32))
+    q, s = quantize_kernel(k)
+    assert q.dtype == jnp.int8
+    err = jnp.abs(q.astype(jnp.float32) * s - k)
+    # symmetric rounding: error <= s/2 per output channel
+    assert bool(jnp.all(err <= s[None, None, None, :] * 0.5 + 1e-7))
+
+
+def test_quantize_activation_exact_on_grid():
+    rng = np.random.default_rng(1)
+    x = _grid(rng, (2, 5, 5, 3), 0.013)
+    q, s = quantize_activation(x)
+    np.testing.assert_allclose(
+        np.asarray(q, np.float32) * float(s), np.asarray(x),
+        rtol=0, atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize(
+    "stride,padding", [(1, ((1, 1), (1, 1))), (2, "SAME"), (1, "VALID")]
+)
+def test_int8_conv_exact_on_grid(stride, padding):
+    rng = np.random.default_rng(2)
+    m = nn.Conv(12, (3, 3), strides=(stride, stride), padding=padding)
+    x = _grid(rng, (2, 9, 9, 5), 1 / 64)
+    variables = m.init(jax.random.key(0), x)
+    # put params on the int8 grid (per-channel scale for the kernel)
+    kscale = np.linspace(0.002, 0.01, 12).astype(np.float32)
+    kq = np.asarray(
+        rng.integers(-127, 128, size=(3, 3, 5, 12)), np.float32
+    )
+    kq[0, 0, 0, :] = 127  # pin per-channel range -> scale recovered
+    kernel = kq * kscale
+    bias = rng.normal(size=(12,)).astype(np.float32)
+    variables = {"params": {"kernel": jnp.asarray(kernel),
+                            "bias": jnp.asarray(bias)}}
+    ref = m.apply(variables, x)
+    out = int8_conv(x, m.bind(variables))
+    assert out.shape == ref.shape
+    # int32 accumulation is exact; the only noise is the f32 rescale
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=1e-4
+    )
+
+
+def test_quantized_apply_intercepts_single_conv_exactly():
+    """One grid-aligned conv through the INTERCEPTOR path equals the
+    f32 apply bit-tight — proves interception swaps the op without
+    perturbing geometry."""
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(6, (3, 3), padding="SAME")(x)
+
+    rng = np.random.default_rng(3)
+    model = Net()
+    x = _grid(rng, (1, 8, 8, 2), 1 / 127)
+    kq = np.asarray(rng.integers(-127, 128, size=(3, 3, 2, 6)),
+                    np.float32)
+    kq[0, 0, 0, :] = 127
+    variables = {"params": {"Conv_0": {
+        "kernel": jnp.asarray(kq * 0.004),
+        "bias": jnp.asarray(rng.normal(size=(6,)).astype(np.float32)),
+    }}}
+    ref = model.apply(variables, x)
+    out = quantized_apply(model, variables, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=0, atol=1e-4
+    )
+
+
+def test_quantized_apply_two_layer_tolerance():
+    """Chained convs requantize the intermediate activation — lossy by
+    design; error stays at the few-percent level of the output scale."""
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.relu(nn.Conv(8, (3, 3), padding="SAME")(x))
+            return nn.Conv(2, (3, 3), padding="SAME")(x)
+
+    model = Net()
+    x = jax.random.uniform(jax.random.key(1), (1, 8, 8, 2))
+    variables = model.init(jax.random.key(0), x)
+    ref = np.asarray(model.apply(variables, x))
+    out = np.asarray(quantized_apply(model, variables, x))
+    scale = max(np.abs(ref).max(), 1e-3)
+    assert np.abs(out - ref).max() <= 0.05 * scale
+
+
+def test_quantized_predict_uses_int8_convs():
+    from sr.models.registry import get_spec
+    from sr.utils.config import SRConfig
+
+    spec = get_spec("EDSR")
+    cfg = SRConfig(model_name="EDSR", scale_factor=2, num_channels=3,
+                   dtype="float32", num_resblocks=2, base_filter=8)
+    model = spec.make_model(cfg)
+    x = jnp.zeros((1, 12, 12, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x, train=False)
+    fn = make_quantized_predict(model, variables)
+    txt = jax.jit(lambda a: quantized_apply(model, variables, a,
+                                            train=False)).lower(x).as_text()
+    assert "xi8>" in txt and "xi32>" in txt, (
+        "int8 conv path not in the lowered StableHLO"
+    )
+    y = fn(x)
+    assert y.shape == (1, 24, 24, 3)
+
+
+def test_quantized_zoo_close_to_f32():
+    """Whole-zoo smoke: quantized forward stays within a loose bound of
+    the f32 graph even at random init (trained-weight quality deltas are
+    measured in PERF.md)."""
+    from sr.models.registry import get_spec
+    from sr.utils.config import SRConfig
+
+    for name in ["SRCNN", "ESPCN"]:
+        spec = get_spec(name)
+        cfg = SRConfig(model_name=name, scale_factor=2,
+                       num_channels=spec.default_channels,
+                       dtype="float32")
+        model = spec.make_model(cfg)
+        size = 24 if spec.pre_upsample else 12
+        x = jax.random.uniform(
+            jax.random.key(1), (1, size, size, spec.default_channels)
+        )
+        variables = model.init(jax.random.key(0), x, train=False)
+        ref = np.asarray(model.apply(variables, x, train=False))
+        out = np.asarray(quantized_apply(model, variables, x,
+                                         train=False))
+        assert out.shape == ref.shape
+        scale = max(np.abs(ref).max(), 1e-3)
+        assert np.abs(out - ref).max() <= 0.05 * scale + 5e-3
+
+
+def test_upscale_quantize_close_to_f32(tmp_path):
+    """The user-facing serving path: upscale(quantize=True) matches the
+    f32 forward within a few u8 levels."""
+    from sr.data.datasets import SyntheticDataset
+    from sr.infer import upscale
+    from sr.models.registry import get_spec
+    from sr.utils.checkpoint import save_params
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="ESPCN", scale_factor=4, num_channels=1,
+                   dtype="float32")
+    model = get_spec("ESPCN").make_model(cfg)
+    v = model.init(jax.random.key(0), np.zeros((1, 8, 8, 1), np.float32),
+                   train=False)
+    path = str(tmp_path / "ESPCN_params.npz")
+    save_params(path, v["params"])
+    img = SyntheticDataset(1, (40, 40), 1)[0][..., 0]
+    ref = upscale(img, "ESPCN", path, scale_factor=4, dtype="float32",
+                  tile=None)
+    out = upscale(img, "ESPCN", path, scale_factor=4, dtype="float32",
+                  tile=None, quantize=True)
+    assert out.shape == ref.shape
+    # random-init activations are small; int8 requantization noise stays
+    # within a few u8 levels
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 6
+
+
+def test_export_quantized_artifact_roundtrip(tmp_path):
+    """Quantized export: the serialized artifact carries int8 literals
+    and serves without any model code."""
+
+    from sr.export import export_predict, load_artifact, save_artifact
+    from sr.models.registry import get_spec
+    from sr.utils.checkpoint import save_params
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="ESPCN", scale_factor=2, num_channels=1,
+                   dtype="float32")
+    model = get_spec("ESPCN").make_model(cfg)
+    v = model.init(jax.random.key(0), np.zeros((1, 8, 8, 1), np.float32),
+                   train=False)
+    path = str(tmp_path / "ESPCN_params.npz")
+    save_params(path, v["params"])
+    exp = export_predict("ESPCN", path, scale_factor=2, dtype="float32",
+                         lr_size=16, quantize=True)
+    assert "xi8>" in exp.mlir_module()
+    art = str(tmp_path / "espcn_int8.hloart")
+    save_artifact(art, exp)
+    served = load_artifact(art)
+    y = served(jnp.zeros((1, 16, 16, 1), jnp.float32))
+    assert y.shape == (1, 32, 32, 1)
+
+
+def test_serve_rejects_quantize_with_artifact():
+    from sr.serve import SRService
+
+    with pytest.raises(ValueError, match="quantize"):
+        SRService(artifact="x.hloart", quantize=True)
