@@ -259,6 +259,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="EDSR residual scaling — param-free, MUST match "
                         "training or the artifact silently diverges")
     p.add_argument("--num_recursions", type=int, default=None)
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 convs: int8 weight literals in the "
+                        "artifact (~4x smaller weights, ~0.007 dB)")
     a = p.parse_args(argv)
     overrides = {
         k: v for k, v in
@@ -271,7 +274,7 @@ def main(argv: list[str] | None = None) -> None:
         meta, exports = export_bundle(
             a.model_name, a.params, a.scale_factor, a.num_channels, a.dtype,
             a.fused, lr_sizes=tuple(a.lr_size), platforms=platforms,
-            cfg_overrides=overrides or None,
+            cfg_overrides=overrides or None, quantize=a.quantize,
         )
         save_bundle(a.out, meta, exports)
         print(f"exported {a.model_name} bundle -> {a.out} "
@@ -281,7 +284,7 @@ def main(argv: list[str] | None = None) -> None:
         a.model_name, a.params, a.scale_factor, a.num_channels, a.dtype,
         a.fused, a.lr_size[0],
         platforms=platforms,
-        cfg_overrides=overrides or None,
+        cfg_overrides=overrides or None, quantize=a.quantize,
     )
     save_artifact(a.out, exp)
     in_shape = exp.in_avals[0].shape
