@@ -23,7 +23,7 @@ import numpy as np
 
 def run_one(name: str, steps: int, train_ds: str, test_ds: str,
             spd: int = 1, corpus: int = 0, vgg: str | None = None,
-            scale_factor: int = 4) -> dict:
+            scale_factor: int = 4, quant_eval: bool = False) -> dict:
     from sr.data.datasets import get_training_set
     from sr.data.pipeline import build_patch_pipeline
     from sr.eval.runner import evaluate
@@ -70,6 +70,9 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
         g, d = tr.init_states(rng, b0["lr"][:1], b0["hr"][:1])
         g, d = tr.fit(g, d, pipe)
         predict = lambda x: tr.predict(g, x)  # noqa: E731
+        q_model, q_vars = tr.g_model, {"params": g.params}
+        if g.batch_stats is not None:
+            q_vars["batch_stats"] = g.batch_stats
     else:
         from sr.train.trainer import Trainer
 
@@ -78,6 +81,9 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
         state = tr.fit(state, pipe)
         pj = tr.make_predict_fn()
         predict = lambda x: pj(state.params, state.batch_stats, x)  # noqa: E731
+        q_model, q_vars = tr.model, {"params": state.params}
+        if state.batch_stats is not None:
+            q_vars["batch_stats"] = state.batch_stats
 
     from sr.data.datasets import get_test_set
 
@@ -92,6 +98,19 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
         "train_s": round(time.time() - t0, 1),
         **res.summary(),
     }
+    if quant_eval:
+        # int8 PTQ quality on the SAME trained weights + eval substrate
+        from sr.quant import make_quantized_predict
+
+        qfn = make_quantized_predict(q_model, q_vars)
+        qres = evaluate(
+            qfn, test_set, cfg.scale_factor, channels=color_c,
+            pre_upsample=spec.pre_upsample, dataset_name=cfg.test_dataset,
+            color_space="rgb" if cfg.test_dataset == "synthetic"
+            else "ycbcr",
+        )
+        out["psnr_int8"] = qres.summary()["psnr_sr"]
+        out["ssim_int8"] = qres.summary().get("ssim_sr")
     print(json.dumps(out), flush=True)
     return out
 
@@ -111,6 +130,9 @@ def main():
     p.add_argument("--vgg", default=None,
                    help="VGG19 .pth for the SRGAN perceptual term "
                         "(see scripts/make_synthetic_vgg.py), or 'random'")
+    p.add_argument("--quant_eval", action="store_true",
+                   help="also evaluate the int8-quantized forward "
+                        "(sr.quant) on the trained weights")
     a = p.parse_args()
 
     from sr.models.registry import available_models
@@ -121,7 +143,8 @@ def main():
         try:
             results.append(
                 run_one(name, a.steps, a.train_dataset, a.test_dataset,
-                        a.spd, a.corpus, a.vgg, a.scale_factor)
+                        a.spd, a.corpus, a.vgg, a.scale_factor,
+                        a.quant_eval)
             )
         except Exception as e:  # noqa: BLE001
             print(f"[zoo] {name} FAILED: {e}", file=sys.stderr, flush=True)
