@@ -98,10 +98,18 @@ def main():
         "clip_0.1": dict(clip_theta=0.1),
         "clip_0.05_plateau": dict(clip_theta=0.05, decay_epochs=200),
     }
+    # append semantics: a later refinement round must not truncate the
+    # earlier measured arms in the same results file
+    import os
+
     rows = []
+    if os.path.exists(a.out):
+        with open(a.out) as f:
+            rows = json.load(f)
     for name, kw in arms.items():
         if a.arms and name not in a.arms:
             continue
+        rows = [r for r in rows if r.get("arm") != name]  # re-run replaces
         rows.append(run_arm(name, a.steps, a.corpus, a.scale_factor, **kw))
     with open(a.out, "w") as f:
         json.dump(rows, f, indent=1)

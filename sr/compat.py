@@ -86,7 +86,8 @@ class ModelWrapper:
         b0 = pipe(rng)
         state = self.trainer.init_state(rng, b0[self.spec.input_key()][:1])
         ck = Checkpointer(self._ckpt_dir(), keep=cfg.keep_checkpoints,
-                          meta=run_meta(cfg))
+                          meta=run_meta(cfg),
+                          resume=cfg.resume)
         if cfg.resume:
             restored = ck.restore(state)
             if restored is not None:
@@ -233,11 +234,13 @@ class SRGAN(ModelWrapper):
         b0 = pipe(rng)
         g, d = self.gan.init_states(rng, b0["lr"][:1], b0["hr"][:1])
         ck = Checkpointer(self._ckpt_dir(), keep=cfg.keep_checkpoints,
-                          meta=run_meta(cfg))
+                          meta=run_meta(cfg),
+                          resume=cfg.resume)
         # mirror sr/main.py: D gets its own checkpointer so a resumed run
         # continues against the trained discriminator, not a fresh one
         ck_d = Checkpointer(self._ckpt_dir() + "_d",
-                            keep=cfg.keep_checkpoints, meta=run_meta(cfg))
+                            keep=cfg.keep_checkpoints, meta=run_meta(cfg),
+                            resume=cfg.resume)
         if cfg.resume:
             restored = ck.restore(g)
             if restored is not None:

@@ -199,7 +199,8 @@ def main(argv=None) -> int:
           f"devices={jax.device_count()} dtype={cfg.dtype}")
 
     ck = Checkpointer(os.path.join(run_dir, "ckpt"),
-                      keep=cfg.keep_checkpoints, meta=run_meta(cfg))
+                      keep=cfg.keep_checkpoints, meta=run_meta(cfg),
+                      resume=cfg.resume)
 
     if spec.is_gan:
         from sr.train.gan import GANTrainer
@@ -210,7 +211,8 @@ def main(argv=None) -> int:
         b0 = pipe(rng)
         g_state, d_state = tr.init_states(rng, b0["lr"][:1], b0["hr"][:1])
         ck_d = Checkpointer(os.path.join(run_dir, "ckpt_d"),
-                            keep=cfg.keep_checkpoints, meta=run_meta(cfg))
+                            keep=cfg.keep_checkpoints, meta=run_meta(cfg),
+                            resume=cfg.resume)
         restored = None
         if cfg.resume:
             restored = ck.restore(g_state)

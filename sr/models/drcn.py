@@ -100,6 +100,28 @@ class Net(nn.Module):
         return final
 
 
+def migrate_params_r2(params: dict) -> dict:
+    """Round-2 → round-3 DRCN param layout.
+
+    The O(1)-memory rewrite moved the reconstruction net inside the
+    scanned block, renaming the param paths; saved round-2 params
+    (``Scan_RecStep_0/Conv_0`` + top-level ``ConvBlock_2``/``Conv_0``)
+    would otherwise fail deep in a structure mismatch.
+    ``sr.utils.checkpoint.load_params`` applies this automatically, so
+    old ``DRCN_params.npz`` exports keep loading; the weights are
+    IDENTICAL (same shared convs, same semantics), only the tree paths
+    moved."""
+    if "Scan_RecStep_0" not in params:
+        return params
+    p = dict(params)
+    p["Scan_RecBlock_0"] = {
+        "Conv_0": p.pop("Scan_RecStep_0")["Conv_0"],
+        "ConvBlock_0": p.pop("ConvBlock_2"),
+        "Conv_1": p.pop("Conv_0"),
+    }
+    return p
+
+
 def _make(cfg):
     return Net(
         cfg.num_channels, cfg.base_filter, cfg.num_recursions, jnp.dtype(cfg.dtype)

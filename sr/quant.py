@@ -13,10 +13,11 @@ way:
 * **Weights**: per-output-channel symmetric int8, computed from the f32
   params at trace time — XLA constant-folds the rounding, so the
   executable embeds int8 literals and the HBM weight traffic halves.
-* **Activations**: per-tensor symmetric int8 with a *dynamic* scale
-  (``amax/127`` computed on device per call). No calibration corpus
-  needed, no accuracy cliff from a stale static range; the amax reduce
-  is noise next to the conv it feeds.
+* **Activations**: per-SAMPLE symmetric int8 with a *dynamic* scale
+  (``amax/127`` over each batch element, computed on device per call).
+  No calibration corpus needed, no accuracy cliff from a stale static
+  range, and no cross-request coupling under serving micro-batching;
+  the amax reduce is noise next to the conv it feeds.
 * **Accumulation**: exact int32 (``preferred_element_type``), then one
   f32 rescale ``(s_x * s_w)`` + bias — the standard MXU int8 contract.
 
@@ -64,12 +65,33 @@ def quantize_kernel(kernel: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def quantize_activation(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Per-tensor symmetric int8 with a dynamic (on-device) scale."""
+    """Per-SAMPLE symmetric int8 with a dynamic (on-device) scale.
+
+    The scale is reduced over every axis except batch (shape
+    (B, 1, …, 1)) so one image's range never coarsens another's grid —
+    essential under serve-side micro-batching, where concurrent
+    requests share a dispatch and outputs must not depend on
+    co-batched traffic."""
     x32 = x.astype(jnp.float32)
-    s = jnp.max(jnp.abs(x32)) / 127.0
+    axes = tuple(range(1, x32.ndim))
+    s = jnp.max(jnp.abs(x32), axis=axes, keepdims=True) / 127.0
     s = jnp.maximum(s, _EPS)
     q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
     return q, s
+
+
+def _canonical_padding(padding):
+    """Flax ``nn.Conv`` padding → a form ``lax.conv_general_dilated``
+    accepts, or None when ineligible (CIRCULAR/CAUSAL need flax's
+    manual pre-pad and must fall through to the f32 path)."""
+    if isinstance(padding, str):
+        return padding if padding in ("SAME", "SAME_LOWER", "VALID") else None
+    if isinstance(padding, int):
+        return ((padding, padding),) * 2
+    try:
+        return tuple(_as_pair(p) for p in padding)
+    except TypeError:
+        return None
 
 
 def int8_conv(x: jax.Array, m: nn.Conv) -> jax.Array:
@@ -81,9 +103,9 @@ def int8_conv(x: jax.Array, m: nn.Conv) -> jax.Array:
     q_w, s_w = quantize_kernel(kernel)
     q_x, s_x = quantize_activation(x)
     strides = _as_pair(m.strides or 1)
-    padding = m.padding if isinstance(m.padding, str) else [
-        _as_pair(p) for p in m.padding
-    ]
+    padding = _canonical_padding(m.padding)
+    if padding is None:
+        raise ValueError(f"unsupported padding for int8 conv: {m.padding!r}")
     y = lax.conv_general_dilated(
         q_x, q_w, window_strides=strides, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -108,6 +130,7 @@ def _interceptor(next_fun, args, kwargs, context):
              _as_pair(m.kernel_dilation) == (1, 1))
         and (m.input_dilation in (1, None) or
              _as_pair(m.input_dilation) == (1, 1))
+        and _canonical_padding(m.padding) is not None
     ):
         return int8_conv(args[0], m)
     return next_fun(*args, **kwargs)

@@ -52,8 +52,9 @@ class MicroBatcher:
     becomes the leader — it sleeps ``linger_s``, takes everything
     queued for that bucket, runs ``fn`` on the stacked batch (in
     chunks of ``max_batch``), and hands each caller its slice.
-    Followers block on an event. Exceptions propagate to every caller
-    in the batch.
+    Followers block on an event. A chunk failure propagates to the
+    callers whose chunk did not complete; finished chunks' results
+    still return.
     """
 
     def __init__(self, max_batch: int = 32, linger_s: float = 0.003):
@@ -92,9 +93,12 @@ class MicroBatcher:
                     self.dispatches += 1
                     if len(chunk) > 1:
                         self.batched_requests += len(chunk)
-        except Exception as e:  # noqa: BLE001 — deliver to every caller
+        except Exception as e:  # noqa: BLE001
+            # deliver only to callers whose chunk didn't complete —
+            # earlier chunks' results are already computed and good
             for b in batch:
-                b["err"] = e
+                if b["out"] is None:
+                    b["err"] = e
         finally:
             for b in batch:
                 b["evt"].set()
@@ -236,13 +240,21 @@ class SRService:
             work = img_rgb
 
         if ns == 1:
-            # pre-upsample model: the client sends the LR image (an
-            # already-bucket-sized image is accepted as pre-upscaled)
-            if any((ih, iw) == (h, w) for h, w, _ in self.buckets):
+            # pre-upsample model: the client sends the LR image. The LR
+            # interpretation wins whenever ih*r fits a bucket — only an
+            # image too big to BE an LR input but exactly bucket-sized
+            # is accepted as already pre-upscaled (otherwise a 64px LR
+            # request against a 64px bucket would silently skip SR)
+            out_h, out_w = ih * r, iw * r
+            fits_as_lr = any(
+                h >= out_h and w >= out_w for h, w, _ in self.buckets
+            )
+            if not fits_as_lr and any(
+                (ih, iw) == (h, w) for h, w, _ in self.buckets
+            ):
                 model_img = work
                 out_h, out_w = ih, iw
             else:
-                out_h, out_w = ih * r, iw * r
                 model_img = resize_bicubic_u8(work, (out_h, out_w))
             bc_full = model_img  # chroma source, already at output size
         else:

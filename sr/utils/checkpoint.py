@@ -81,7 +81,7 @@ class Checkpointer:
     """
 
     def __init__(self, directory: str, keep: int = 3,
-                 meta: dict | None = None):
+                 meta: dict | None = None, resume: bool = True):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
@@ -89,11 +89,15 @@ class Checkpointer:
             options=ocp.CheckpointManagerOptions(max_to_keep=keep),
         )
         if meta is not None:
-            self._check_meta(meta)
+            self._check_meta(meta, resume)
 
-    def _check_meta(self, meta: dict) -> None:
+    def _check_meta(self, meta: dict, resume: bool = True) -> None:
+        # a non-resuming run starts fresh, so changed constants are fine
+        # — just record the NEW contract (the advertised --no_resume
+        # escape hatch must actually bypass the check)
         path = os.path.join(self.directory, "run_meta.json")
-        if os.path.exists(path) and self._mgr.latest_step() is not None:
+        if resume and os.path.exists(path) \
+                and self._mgr.latest_step() is not None:
             with open(path) as f:
                 old = json.load(f)
             mismatch = {
@@ -172,4 +176,9 @@ def load_params(path: str) -> tuple[dict, dict | None]:
     with np.load(path) as z:
         flat = {tuple(k.split("/")): z[k] for k in z.files}
     tree = unflatten_dict(flat)
-    return tree.get("params", {}), tree.get("batch_stats")
+    params = tree.get("params", {})
+    if "Scan_RecStep_0" in params:  # pre-round-3 DRCN layout
+        from sr.models.drcn import migrate_params_r2
+
+        params = migrate_params_r2(params)
+    return params, tree.get("batch_stats")

@@ -111,6 +111,15 @@ def test_resume_consistency_guard(setup):
     # changed topology: refused
     with pytest.raises(ValueError, match="num_resblocks"):
         Checkpointer(d, meta=run_meta(cfg.replace(num_resblocks=8)))
+    # --no_resume actually bypasses the check (fresh run, new contract
+    # recorded) — the error message's advertised escape hatch
+    ck3 = Checkpointer(d, meta=run_meta(cfg.replace(steps_per_epoch=50)),
+                       resume=False)
+    ck3.close()
+    # ...and the NEW meta is now the stored contract
+    with pytest.raises(ValueError, match="steps_per_epoch"):
+        Checkpointer(d, meta=run_meta(cfg))
+    Checkpointer(d, meta=run_meta(cfg.replace(steps_per_epoch=50))).close()
 
     # empty dir (no checkpoint yet): meta freely (re)writable
     d2 = str(tmp / "meta_empty")
@@ -126,3 +135,29 @@ def test_resume_consistency_guard(setup):
     assert not os.path.exists(os.path.join(d3, "run_meta.json"))
     Checkpointer(d3, meta=run_meta(cfg)).close()
     assert os.path.exists(os.path.join(d3, "run_meta.json"))
+
+
+def test_drcn_r2_params_migrate_on_load(tmp_path):
+    """Round-2 DRCN_params.npz (recon net OUTSIDE the scan) must keep
+    loading after the round-3 O(1)-memory rewrite renamed the param
+    paths — load_params migrates the layout; weights are identical."""
+    cfg = SRConfig(model_name="DRCN", scale_factor=2, num_channels=1,
+                   dtype="float32", num_recursions=4, base_filter=8)
+    model = get_spec("DRCN").make_model(cfg)
+    x = jnp.linspace(0, 1, 12 * 12, dtype=jnp.float32).reshape(1, 12, 12, 1)
+    new = model.init(jax.random.key(0), x, train=False)["params"]
+    # reconstruct the ROUND-2 tree: Scan_RecStep_0/Conv_0 + top-level
+    # ConvBlock_2 (recon1) + Conv_0 (recon2)
+    block = new["Scan_RecBlock_0"]
+    old = {k: v for k, v in new.items() if k != "Scan_RecBlock_0"}
+    old["Scan_RecStep_0"] = {"Conv_0": block["Conv_0"]}
+    old["ConvBlock_2"] = block["ConvBlock_0"]
+    old["Conv_0"] = block["Conv_1"]
+    path = str(tmp_path / "DRCN_params.npz")
+    save_params(path, old)
+    migrated, bs = load_params(path)
+    assert bs is None
+    y_new = jax.jit(lambda p: model.apply({"params": p}, x, train=False))(new)
+    y_old = jax.jit(lambda p: model.apply({"params": p}, x, train=False))(
+        migrated)
+    np.testing.assert_array_equal(np.asarray(y_new), np.asarray(y_old))

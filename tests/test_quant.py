@@ -23,10 +23,10 @@ from sr.quant import (
 
 def _grid(rng, shape, scale):
     """Values exactly representable as int8 * scale, with the range
-    pinned (a 127 present) so dynamic requantization recovers ``scale``
-    exactly."""
+    pinned (a 127 present in EVERY sample) so the dynamic per-sample
+    requantization recovers ``scale`` exactly."""
     q = rng.integers(-127, 128, size=shape).astype(np.float32)
-    q.flat[0] = 127
+    q.reshape(shape[0], -1)[:, 0] = 127
     return jnp.asarray(q * scale)
 
 
@@ -44,8 +44,9 @@ def test_quantize_activation_exact_on_grid():
     rng = np.random.default_rng(1)
     x = _grid(rng, (2, 5, 5, 3), 0.013)
     q, s = quantize_activation(x)
+    assert s.shape == (2, 1, 1, 1)  # per-sample, not per-tensor
     np.testing.assert_allclose(
-        np.asarray(q, np.float32) * float(s), np.asarray(x),
+        np.asarray(q, np.float32) * np.asarray(s), np.asarray(x),
         rtol=0, atol=1e-6,
     )
 
@@ -225,3 +226,48 @@ def test_serve_rejects_quantize_with_artifact():
 
     with pytest.raises(ValueError, match="quantize"):
         SRService(artifact="x.hloart", quantize=True)
+
+
+def test_quantized_batch_independence():
+    """Per-sample activation scales: a request's quantized output must
+    not depend on what it was micro-batched with (a bright co-batched
+    image must not coarsen this image's grid)."""
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(4, (3, 3), padding="SAME")(x)
+
+    model = Net()
+    x0 = jax.random.uniform(jax.random.key(1), (1, 8, 8, 2))
+    bright = 100.0 * jax.random.uniform(jax.random.key(2), (1, 8, 8, 2))
+    variables = model.init(jax.random.key(0), x0)
+    solo = np.asarray(quantized_apply(model, variables, x0))
+    paired = np.asarray(
+        quantized_apply(model, variables, jnp.concatenate([x0, bright]))
+    )[:1]
+    np.testing.assert_array_equal(solo, paired)
+
+
+def test_interceptor_padding_eligibility():
+    """Bare-int padding quantizes (canonicalized); CIRCULAR safely
+    falls through to the f32 path instead of crashing."""
+    for pad, expect_int8 in [(1, True), ("CIRCULAR", False)]:
+        class Net(nn.Module):
+            padding: object
+
+            @nn.compact
+            def __call__(self, x, train=False):
+                return nn.Conv(4, (3, 3), padding=self.padding)(x)
+
+        model = Net(padding=pad)
+        x = jax.random.uniform(jax.random.key(1), (1, 8, 8, 2))
+        variables = model.init(jax.random.key(0), x)
+        txt = jax.jit(
+            lambda a: quantized_apply(model, variables, a)
+        ).lower(x).as_text()
+        assert ("xi8>" in txt) == expect_int8, pad
+        out = np.asarray(quantized_apply(model, variables, x))
+        ref = np.asarray(model.apply(variables, x))
+        assert out.shape == ref.shape
+        if not expect_int8:
+            np.testing.assert_array_equal(out, ref)

@@ -3,6 +3,7 @@
 import http.client
 import io
 import json
+import time
 
 import numpy as np
 import pytest
@@ -262,3 +263,78 @@ def test_serve_micro_batching_and_metrics(tmp_path, espcn_params):
         assert "latency_ms" in snap and snap["latency_ms"]["p50"] > 0
     finally:
         httpd.shutdown()
+
+
+def test_serve_preupsample_bundle_lr_wins_bucket_coincidence(tmp_path):
+    """A pre-upsample bundle whose buckets include 64 AND 256 must treat
+    a 64px request as an LR image (bicubic to 256 then SR), not as
+    'already pre-upscaled' just because 64 is also a bucket size
+    (review finding: the coincidence silently skipped SR at exactly the
+    advertised max LR size)."""
+    from sr.export import export_bundle, save_bundle
+
+    cfg = SRConfig(model_name="SRCNN", num_channels=1, scale_factor=4,
+                   dtype="float32")
+    model = get_spec("SRCNN").make_model(cfg)
+    variables = model.init(jax.random.key(0),
+                           jax.numpy.zeros((1, 16, 16, 1)), train=False)
+    path = str(tmp_path / "SRCNN_params.npz")
+    save_params(path, variables["params"], variables.get("batch_stats"))
+    meta, exports = export_bundle("SRCNN", path, scale_factor=4,
+                                  num_channels=1, dtype="float32",
+                                  lr_sizes=(64, 256))
+    art = str(tmp_path / "srcnn.srbundle")
+    save_bundle(art, meta, exports)
+
+    service = SRService(artifact=art)
+    rng = np.random.default_rng(1)
+    # 64x64 coincides with a bucket, but 64*4=256 fits -> LR wins
+    out = service._serve_artifact(
+        rng.integers(0, 255, (64, 64, 3), np.uint8))
+    assert out.shape == (256, 256, 3)
+    # 256x256: too big to be an LR input (1024 > max bucket), exactly
+    # bucket-sized -> accepted as already pre-upscaled
+    out = service._serve_artifact(
+        rng.integers(0, 255, (256, 256, 3), np.uint8))
+    assert out.shape == (256, 256, 3)
+
+
+def test_micro_batcher_chunk_failure_isolated():
+    """A failure in a LATER chunk of a split micro-batch must not 400
+    the requests whose chunk already completed (review finding)."""
+    import threading
+
+    from sr.serve import MicroBatcher
+
+    mb = MicroBatcher(max_batch=2, linger_s=0.25)
+    calls = []
+
+    def fn(x):
+        calls.append(x.shape[0])
+        if len(calls) == 2:
+            raise RuntimeError("chunk 2 boom")
+        return x * 2.0
+
+    results = {}
+
+    def req(i):
+        x = np.full((1, 2, 2, 1), float(i), np.float32)
+        try:
+            results[i] = mb.run("k", fn, x)
+        except RuntimeError as e:
+            results[i] = e
+
+    threads = [threading.Thread(target=req, args=(i,)) for i in range(3)]
+    threads[0].start()
+    time.sleep(0.05)  # let the leader enqueue first
+    for t in threads[1:]:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert calls == [2, 1]  # two chunks dispatched
+    ok = [i for i, v in results.items() if isinstance(v, np.ndarray)]
+    failed = [i for i, v in results.items() if isinstance(v, RuntimeError)]
+    assert len(ok) == 2 and len(failed) == 1
+    for i in ok:
+        np.testing.assert_array_equal(results[i], np.full((1, 2, 2, 1),
+                                                          2.0 * i))
