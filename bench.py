@@ -43,6 +43,7 @@ REF_GPU_MPS = 15.0  # estimated PyTorch-on-GPU reference (see docstring)
 LR_SIZE, SCALE = 128, 4
 B_SMALL, B_LARGE = 32, 64
 ITERS = 5
+REPEATS = 5  # interleaved repeats; median marginal (relay phase drift)
 
 
 def _timed(fn, x, iters: int) -> float:
@@ -56,33 +57,46 @@ def _timed(fn, x, iters: int) -> float:
 
 
 def _measure(fn, key, label: str) -> float:
-    """Marginal MP/s between the two batch sizes (observed as floor)."""
+    """Marginal MP/s between the two batch sizes (observed as floor).
+
+    The relay's per-dispatch cost drifts in multi-second phases, so the
+    two batch sizes are timed INTERLEAVED within each repeat (phase
+    drift then hits both and largely cancels in the difference) and the
+    median of the per-repeat marginals is reported — a single slow
+    phase can no longer inflate or deflate the headline."""
+    import statistics
+
     import jax
     import jax.numpy as jnp
 
-    times = {}
-    for batch in (B_SMALL, B_LARGE):
-        x = jax.random.normal(key, (batch, LR_SIZE, LR_SIZE, 3), jnp.bfloat16)
-        for attempt in range(3):  # remote compile is occasionally flaky
-            try:
-                times[batch] = _timed(fn, x, ITERS)
-                break
-            except Exception as e:  # noqa: BLE001
-                print(f"[bench] {label} b{batch} attempt {attempt}: {e}",
-                      file=sys.stderr)
-                time.sleep(5)
-        else:
-            raise RuntimeError(f"bench {label} failed after retries")
+    xs = {
+        b: jax.random.normal(key, (b, LR_SIZE, LR_SIZE, 3), jnp.bfloat16)
+        for b in (B_SMALL, B_LARGE)
+    }
     px = (LR_SIZE * SCALE) ** 2
     mp_s, mp_l = B_SMALL * px / 1e6, B_LARGE * px / 1e6
-    t_s, t_l = times[B_SMALL], times[B_LARGE]
-    observed = mp_l / t_l
-    value = observed
-    if t_l - t_s > 2e-3:  # noise guard: need a resolved delta
-        value = max((mp_l - mp_s) / (t_l - t_s), observed)
-    print(f"[bench] {label}: b{B_SMALL} {t_s * 1e3:.1f} ms, "
-          f"b{B_LARGE} {t_l * 1e3:.1f} ms -> {value:.0f} MP/s",
-          file=sys.stderr)
+    marginals, observed = [], []
+    for attempt in range(3):  # remote compile is occasionally flaky
+        try:
+            for _ in range(REPEATS):
+                t_s = _timed(fn, xs[B_SMALL], ITERS)
+                t_l = _timed(fn, xs[B_LARGE], ITERS)
+                observed.append(mp_l / t_l)
+                if t_l - t_s > 2e-3:  # noise guard: resolved delta only
+                    marginals.append((mp_l - mp_s) / (t_l - t_s))
+                print(f"[bench] {label}: b{B_SMALL} {t_s * 1e3:.1f} ms, "
+                      f"b{B_LARGE} {t_l * 1e3:.1f} ms", file=sys.stderr)
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] {label} attempt {attempt}: {e}", file=sys.stderr)
+            time.sleep(5)
+    else:
+        raise RuntimeError(f"bench {label} failed after retries")
+    value = max(
+        statistics.median(marginals) if marginals else 0.0, max(observed)
+    )
+    print(f"[bench] {label}: {value:.0f} MP/s "
+          f"(median of {len(marginals)} marginals)", file=sys.stderr)
     return value
 
 
