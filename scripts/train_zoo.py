@@ -23,7 +23,8 @@ import numpy as np
 
 def run_one(name: str, steps: int, train_ds: str, test_ds: str,
             spd: int = 1, corpus: int = 0, vgg: str | None = None,
-            scale_factor: int = 4, quant_eval: bool = False) -> dict:
+            scale_factor: int = 4, quant_eval: bool = False,
+            crop: int = 0) -> dict:
     from sr.data.datasets import get_training_set
     from sr.data.pipeline import build_patch_pipeline
     from sr.eval.runner import evaluate
@@ -33,7 +34,7 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
     spec = get_spec(name)
     cfg = SRConfig(
         model_name=name, scale_factor=scale_factor,
-        crop_size=(64 // scale_factor) * scale_factor,  # 63 for x3
+        crop_size=(crop or 64) // scale_factor * scale_factor,  # 63 at x3
         batch_size=32,
         num_channels=spec.default_channels, dtype="bfloat16",
         steps_per_epoch=min(steps, 200),
@@ -133,6 +134,9 @@ def main():
     p.add_argument("--quant_eval", action="store_true",
                    help="also evaluate the int8-quantized forward "
                         "(sr.quant) on the trained weights")
+    p.add_argument("--crop", type=int, default=0,
+                   help="HR crop size (0 = 64; use 128+ at x8 so the "
+                        "LR crop keeps enough context)")
     a = p.parse_args()
 
     from sr.models.registry import available_models
@@ -144,7 +148,7 @@ def main():
             results.append(
                 run_one(name, a.steps, a.train_dataset, a.test_dataset,
                         a.spd, a.corpus, a.vgg, a.scale_factor,
-                        a.quant_eval)
+                        a.quant_eval, a.crop)
             )
         except Exception as e:  # noqa: BLE001
             print(f"[zoo] {name} FAILED: {e}", file=sys.stderr, flush=True)
