@@ -54,6 +54,14 @@ def main() -> None:
         "fused": make_fused_tail_predict(model, variables),
     }
     x = jax.random.normal(jax.random.key(1), (B, lr, lr, 3), jnp.float32)
+    try:  # int8-static body + int8 collapsed tail (the fast int8 mode)
+        from sr.kernels.fused_tail import make_fused_tail_predict_quant
+
+        qfn = make_fused_tail_predict_quant(model, variables)
+        qfn(x)  # eager warm runs the lazy calibration
+        fns["quant_fused"] = qfn
+    except (ValueError, KeyError) as e:  # noqa: BLE001
+        print(f"[stage] quant_fused unavailable: {e}", file=sys.stderr)
 
     def relayout_ms(ops):
         # input-side layout ops: copies/reshapes/transposes outside the

@@ -34,7 +34,13 @@ def main() -> None:
     variables = jax.jit(model.init, static_argnames=("train",))(
         jax.random.key(1), x[:1], train=False)
 
-    if variant == "folded":
+    if variant == "quant":
+        from sr.quant import calibrate_scales, quantized_apply
+
+        scales = calibrate_scales(model, variables, x[:1], train=False)
+        fn = jax.jit(lambda x: quantized_apply(
+            model, variables, x, scales=scales, train=False))
+    elif variant == "folded":
         from sr.kernels.shuffle_fold import make_folded_tail_predict
 
         fn = make_folded_tail_predict(model, variables)

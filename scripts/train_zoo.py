@@ -112,6 +112,17 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
         )
         out["psnr_int8"] = qres.summary()["psnr_sr"]
         out["ssim_int8"] = qres.summary().get("ssim_sr")
+        # static-calibrated scales (the fast int8 mode): calibrates on
+        # the first eval image it sees, like serving would
+        sfn = make_quantized_predict(q_model, q_vars, mode="static")
+        sres = evaluate(
+            sfn, test_set, cfg.scale_factor, channels=color_c,
+            pre_upsample=spec.pre_upsample, dataset_name=cfg.test_dataset,
+            color_space="rgb" if cfg.test_dataset == "synthetic"
+            else "ycbcr",
+        )
+        out["psnr_int8_static"] = sres.summary()["psnr_sr"]
+        out["ssim_int8_static"] = sres.summary().get("ssim_sr")
     print(json.dumps(out), flush=True)
     return out
 

@@ -34,7 +34,7 @@ import numpy as np
 def _build_predict(model_name: str, params_path: str, scale_factor: int,
                    num_channels: int | None, dtype: str, fused: bool,
                    cfg_overrides: dict | None = None,
-                   quantize: bool = False):
+                   quantize: bool | str = False):
     from sr.models.registry import get_spec
     from sr.utils.checkpoint import load_params
     from sr.utils.config import SRConfig
@@ -66,12 +66,16 @@ def export_predict(
     symbolic_batch: bool = True,
     platforms: tuple[str, ...] | None = None,
     cfg_overrides: dict | None = None,
-    quantize: bool = False,
+    quantize: bool | str = False,
 ):
     """Lower a trained model's predict fn to a serializable Exported.
 
     ``quantize``: int8 convs (sr.quant) — the artifact then carries
-    int8 weight literals (≈4x smaller than f32 weights).
+    int8 weight literals (≈4x smaller than f32 weights). ``"static"``
+    bakes calibrated activation scales in as constants (the fast int8
+    mode); since AOT export has no request data, calibration uses a
+    uniform-random [0,1) input at the export shape — representative for
+    u8-normalized images.
 
     ``lr_size``: the (static) LR input spatial size this artifact serves
     (pre-upsample models receive the bicubic-upscaled input, so pass the
@@ -85,6 +89,12 @@ def export_predict(
         model_name, params_path, scale_factor, num_channels, dtype, fused,
         cfg_overrides, quantize)
     h, w = (lr_size, lr_size) if isinstance(lr_size, int) else lr_size
+    if quantize == "static":
+        # the lazy predict calibrates on its first (concrete) batch —
+        # must happen BEFORE jex.export traces it with abstract shapes
+        calib = jax.random.uniform(jax.random.key(0), (1, h, w, channels),
+                                   jnp.float32)
+        predict(calib)
     if symbolic_batch:
         (b,) = jex.symbolic_shape("b")
         spec = jax.ShapeDtypeStruct((b, h, w, channels), jnp.float32)
@@ -119,7 +129,7 @@ def export_bundle(
     symbolic_batch: bool = True,
     platforms: tuple[str, ...] | None = None,
     cfg_overrides: dict | None = None,
-    quantize: bool = False,
+    quantize: bool | str = False,
 ):
     """Export one artifact per input size plus embedded metadata.
 
@@ -137,6 +147,11 @@ def export_bundle(
     exports, buckets = [], []
     for size in sorted(set(lr_sizes)):
         h, w = (size, size) if isinstance(size, int) else size
+        if quantize == "static" and not exports:
+            # calibrate the lazy static predict on the smallest bucket
+            # (scales are shape-independent and shared by all buckets)
+            predict(jax.random.uniform(jax.random.key(0),
+                                       (1, h, w, channels), jnp.float32))
         if symbolic_batch:
             (b,) = jex.symbolic_shape("b")
             spec = jax.ShapeDtypeStruct((b, h, w, channels), jnp.float32)
@@ -259,9 +274,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="EDSR residual scaling — param-free, MUST match "
                         "training or the artifact silently diverges")
     p.add_argument("--num_recursions", type=int, default=None)
-    p.add_argument("--quantize", action="store_true",
+    p.add_argument("--quantize", nargs="?", const="dynamic", default=False,
+                   choices=["dynamic", "static"],
                    help="int8 convs: int8 weight literals in the "
-                        "artifact (~4x smaller weights, ~0.007 dB)")
+                        "artifact (~4x smaller weights, ~0.007 dB). "
+                        "'static' bakes calibrated activation scales in "
+                        "— the fast int8 mode (bare flag = dynamic)")
     a = p.parse_args(argv)
     overrides = {
         k: v for k, v in

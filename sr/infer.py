@@ -25,18 +25,30 @@ from sr.utils.config import SRConfig
 
 
 def make_serving_predict(model, variables, fused: bool,
-                         quantize: bool = False):
+                         quantize: bool | str = False):
     """ONE place for the serving-variant policy, shared by sr.infer and
     sr.export: ``fused`` picks the collapsed affine tail where the tail
     is affine (EDSR), else the exact phase-folded tail (SRResNet/SRGAN);
     models without a PS tail (or when ``fused=False``) run the exact
-    graph. ``quantize`` runs every conv as int8 on the exact-topology
-    graph (sr.quant; takes precedence over ``fused`` — the tail
-    rewrites assume f32/bf16 conv algebra)."""
+    graph. ``quantize`` runs every conv as int8: ``True``/``"dynamic"``
+    uses per-sample activation scales on the exact-topology graph
+    (footprint lever; tail rewrites assume float conv algebra);
+    ``"static"`` uses scales calibrated on the first batch and, with
+    ``fused``, composes with the collapsed affine tail — the fastest
+    serving path (PERF.md round-3 int8-static entry)."""
     if quantize:
+        mode = "static" if quantize == "static" else "dynamic"
+        if mode == "static" and fused and hasattr(model, "tail"):
+            try:
+                from sr.kernels.fused_tail import (
+                    make_fused_tail_predict_quant)
+
+                return make_fused_tail_predict_quant(model, variables)
+            except (ValueError, KeyError):
+                pass  # non-affine tail: exact-graph static int8 below
         from sr.quant import make_quantized_predict
 
-        return make_quantized_predict(model, variables)
+        return make_quantized_predict(model, variables, mode=mode)
     if fused and hasattr(model, "tail"):
         try:
             # affine tails (EDSR) collapse to one conv (interior-exact)
@@ -55,7 +67,7 @@ def make_serving_predict(model, variables, fused: bool,
 @functools.lru_cache(maxsize=8)
 def _load(model_name: str, params_path: str, params_mtime: float,
           scale_factor: int, num_channels: int | None, dtype: str,
-          fused: bool, quantize: bool = False):
+          fused: bool, quantize: bool | str = False):
     # params_mtime keys the cache so a re-exported file at the same path
     # is picked up instead of serving stale weights
     del params_mtime
@@ -82,7 +94,7 @@ def upscale(
     dtype: str = "bfloat16",
     tile: int | None = 256,
     fused: bool = False,
-    quantize: bool = False,
+    quantize: bool | str = False,
     color_space: str = "rgb",
 ) -> np.ndarray:
     """Super-resolve a uint8 (H, W[, C]) image → uint8 (rH, rW, C).
@@ -92,7 +104,9 @@ def upscale(
     affine tail where the model supports it (interior-identical, faster;
     see sr/kernels/fused_tail.py). ``quantize``: int8 convs for the
     forward (sr.quant — ~0.007 dB, int8 weight literals in the
-    executable). ``color_space`` declares how a
+    executable; ``"static"`` calibrates activation scales on the first
+    image and is the fast int8 mode, composing with ``fused=True``).
+    ``color_space`` declares how a
     3-channel ``img`` is encoded ('rgb' or 'ycbcr'); 1-channel models
     super-resolve the LUMA channel (converting from RGB when needed),
     merge bicubic-upscaled chroma back, and return the input encoding.

@@ -64,6 +64,10 @@ def _extract_affine_conv(tail_fn, in_channels, scale_factor, support, tol):
     P = 4 * S  # probe canvas: comfortably larger than the support
     p0 = P // 2
 
+    # one compile for all ~C_in+2 probe forwards (the trace happens on
+    # the first call, inside the matmul-precision context) — eager
+    # probing costs a remote compile PER OP on the relay backend
+    tail_fn = jax.jit(tail_fn)
     zeros = jnp.zeros((1, P, P, in_channels), jnp.float32)
     bias_map = np.asarray(tail_fn(zeros))  # (1, rP, rP, C_out)
     c_out = bias_map.shape[-1]
@@ -143,5 +147,64 @@ def make_fused_tail_predict(model, variables, support: int = 7):
             preferred_element_type=jnp.float32,
         ) + b_j
         return depth_to_space_ref(z.astype(h.dtype), r)
+
+    return predict
+
+
+def make_fused_tail_predict_quant(model, variables, support: int = 7):
+    """Fused affine tail + STATIC-int8 body: the fast serving composite.
+
+    Body convs run s8xs8->s32 with calibrated per-tensor activation
+    scales (sr.quant mode="static" — the requantize fuses into conv
+    epilogues, measured 1.48x conv-level, scripts/bench_int8_conv.py);
+    the collapsed tail conv runs int8 too (per-output-channel composite
+    kernel, calibrated body-output scale). Calibration happens lazily on
+    the FIRST batch, like ``make_quantized_predict(mode="static")``.
+    Interior-exact up to the int8 grid; same border-band caveat as
+    ``make_fused_tail_predict``.
+    """
+    from sr.quant import _EPS, calibrate_scales, quantized_apply
+
+    r = model.scale_factor
+    model_f32 = model.clone(dtype=jnp.float32)
+
+    def tail_f32(y):
+        return model_f32.apply(variables, y, train=False,
+                               method="tail").astype(jnp.float32)
+
+    K, b = extract_affine_conv(tail_f32, model.base_filter, r, support)
+    s_K = np.maximum(np.abs(K).max(axis=(0, 1, 2)) / 127.0, _EPS)
+    qK_j = jnp.asarray(
+        np.clip(np.round(K / s_K), -127, 127).astype(np.int8))
+    b_j = jnp.asarray(b, jnp.float32)
+
+    state: dict = {}
+
+    def predict(x):
+        if "fn" not in state:
+            scales = calibrate_scales(model, variables, x, train=False)
+            h_cal = jax.jit(lambda z: model.apply(
+                variables, z, train=False, method="body"))(x)
+            s_h = max(
+                float(jnp.max(jnp.abs(h_cal.astype(jnp.float32)))) / 127.0,
+                _EPS)
+            s_out = jnp.asarray(s_h * s_K, jnp.float32)
+
+            @jax.jit
+            def fn(x):
+                h = quantized_apply(model, variables, x, scales=scales,
+                                    train=False, method="body")
+                q_h = jnp.clip(
+                    jnp.round(h.astype(jnp.float32) * (1.0 / s_h)),
+                    -127, 127).astype(jnp.int8)
+                z = jax.lax.conv_general_dilated(
+                    q_h, qK_j, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * s_out + b_j
+                return depth_to_space_ref(z.astype(h.dtype), r)
+
+            state["fn"] = fn
+        return state["fn"](x)
 
     return predict

@@ -94,14 +94,93 @@ def _canonical_padding(padding):
         return None
 
 
-def int8_conv(x: jax.Array, m: nn.Conv) -> jax.Array:
+def quantize_activation_static(x: jax.Array, scale: float
+                               ) -> tuple[jax.Array, jax.Array]:
+    """Per-tensor symmetric int8 with a STATIC (calibrated) scale.
+
+    The scale is a trace-time constant, so there is no on-device amax
+    reduce and the round/clip/cast chain fuses into the epilogue of
+    whatever produced ``x`` — this is what lets the int8 conv's 1.48x
+    MXU win (scripts/bench_int8_conv.py) survive end-to-end instead of
+    being eaten by two extra HBM passes per conv (the measured fate of
+    the dynamic path, PERF.md round-3 int8 entry). Out-of-range
+    activations saturate at +/-127 — graceful for PSNR, and the scale
+    comes from a real forward (``calibrate_scales``)."""
+    s = max(float(scale), _EPS)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / s)),
+                 -127, 127).astype(jnp.int8)
+    return q, jnp.float32(s)
+
+
+def _site_key(m: nn.Module) -> str:
+    return "/".join(m.path)
+
+
+def _eligible(m, args) -> bool:
+    return (
+        type(m) is nn.Conv
+        and len(args) == 1
+        and getattr(args[0], "ndim", 0) == 4
+        and _as_pair(m.kernel_size)[0] == _as_pair(m.kernel_size)[1]
+        and (m.kernel_dilation in (1, None) or
+             _as_pair(m.kernel_dilation) == (1, 1))
+        and (m.input_dilation in (1, None) or
+             _as_pair(m.input_dilation) == (1, 1))
+        and _canonical_padding(m.padding) is not None
+    )
+
+
+def calibrate_scales(model: nn.Module, variables: dict, x: jax.Array,
+                     headroom: float = 1.0, **apply_kwargs
+                     ) -> dict[str, float]:
+    """One jitted f32 forward that records each eligible conv site's
+    input amax; returns ``{module-path: scale}`` for the static int8
+    path. Sites visited more than once under one trace (shared/looped
+    modules) keep the max. ``headroom`` multiplies every scale (1.0 =
+    exact calibration amax; >1 trades grid resolution for clip
+    margin)."""
+
+    def _capture(x):
+        captured: dict[str, jax.Array] = {}
+        # convs inside lax/nn.scan bodies (DRCN's recursion) would
+        # capture scan-body tracers that cannot escape their trace —
+        # skip them by trace identity; those sites fall back to dynamic
+        # scales at apply time
+        outer_trace = getattr(x, "_trace", None)
+
+        def interceptor(next_fun, args, kwargs, context):
+            m = context.module
+            if (_eligible(m, args) and context.method_name == "__call__"
+                    and getattr(args[0], "_trace", None) is outer_trace):
+                amax = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                k = _site_key(m)
+                if k in captured:
+                    amax = jnp.maximum(captured[k], amax)
+                captured[k] = amax
+            return next_fun(*args, **kwargs)
+
+        with nn.intercept_methods(interceptor):
+            model.apply(variables, x, **apply_kwargs)
+        return captured
+
+    out = jax.jit(_capture)(x)
+    return {k: max(float(v) * headroom / 127.0, _EPS)
+            for k, v in out.items()}
+
+
+def int8_conv(x: jax.Array, m: nn.Conv,
+              static_scale: float | None = None) -> jax.Array:
     """Run a bound ``nn.Conv`` module's conv as s8 x s8 -> s32 with an
     f32 rescale; mirrors the module's geometry (strides/padding/groups)
-    exactly."""
+    exactly. ``static_scale``: calibrated per-tensor activation scale
+    (constant-folded); None = dynamic per-sample scale."""
     params = m.variables["params"]
     kernel = params["kernel"]
     q_w, s_w = quantize_kernel(kernel)
-    q_x, s_x = quantize_activation(x)
+    if static_scale is not None:
+        q_x, s_x = quantize_activation_static(x, static_scale)
+    else:
+        q_x, s_x = quantize_activation(x)
     strides = _as_pair(m.strides or 1)
     padding = _canonical_padding(m.padding)
     if padding is None:
@@ -118,35 +197,63 @@ def int8_conv(x: jax.Array, m: nn.Conv) -> jax.Array:
     return y.astype(x.dtype)
 
 
-def _interceptor(next_fun, args, kwargs, context):
-    m = context.module
-    if (
-        type(m) is nn.Conv
-        and context.method_name == "__call__"
-        and len(args) == 1
-        and getattr(args[0], "ndim", 0) == 4
-        and _as_pair(m.kernel_size)[0] == _as_pair(m.kernel_size)[1]
-        and (m.kernel_dilation in (1, None) or
-             _as_pair(m.kernel_dilation) == (1, 1))
-        and (m.input_dilation in (1, None) or
-             _as_pair(m.input_dilation) == (1, 1))
-        and _canonical_padding(m.padding) is not None
-    ):
-        return int8_conv(args[0], m)
-    return next_fun(*args, **kwargs)
+def _make_interceptor(scales: dict[str, float] | None):
+    def interceptor(next_fun, args, kwargs, context):
+        m = context.module
+        if _eligible(m, args) and context.method_name == "__call__":
+            s = scales.get(_site_key(m)) if scales is not None else None
+            return int8_conv(args[0], m, static_scale=s)
+        return next_fun(*args, **kwargs)
+
+    return interceptor
 
 
 def quantized_apply(model: nn.Module, variables: dict, x: jax.Array,
+                    scales: dict[str, float] | None = None,
                     **apply_kwargs) -> Any:
-    """``model.apply`` with every eligible ``nn.Conv`` running int8."""
-    with nn.intercept_methods(_interceptor):
+    """``model.apply`` with every eligible ``nn.Conv`` running int8.
+
+    ``scales``: per-site static activation scales from
+    ``calibrate_scales``; sites absent from the dict use the dynamic
+    per-sample scale (None = fully dynamic)."""
+    with nn.intercept_methods(_make_interceptor(scales)):
         return model.apply(variables, x, **apply_kwargs)
 
 
-def make_quantized_predict(model: nn.Module, variables: dict):
+def make_quantized_predict(model: nn.Module, variables: dict,
+                           mode: str = "dynamic"):
     """Jitted serving forward with int8 convs. ``variables`` are closed
     over, so XLA folds the weight quantization at compile time and the
-    executable carries int8 weight literals."""
-    return jax.jit(
-        lambda x: quantized_apply(model, variables, x, train=False)
-    )
+    executable carries int8 weight literals.
+
+    ``mode``:
+
+    * ``"dynamic"`` — per-SAMPLE activation scales computed on device
+      each call. Zero setup, outputs independent of co-batched traffic;
+      throughput ~parity with bf16 (the amax reduce costs two HBM
+      passes per conv).
+    * ``"static"`` — per-tensor scales calibrated ONCE on the first
+      batch this predict fn sees (one extra jitted f32 forward), then
+      constant-folded into every later trace. The requantize fuses
+      into conv epilogues and the int8 MXU rate shows up end-to-end
+      (scripts/bench_quant_e2e.py). Later inputs whose activations
+      exceed the calibrated range saturate at the int8 grid edge.
+    """
+    if mode not in ("dynamic", "static"):
+        raise ValueError(f"unknown quantization mode: {mode!r}")
+    if mode == "dynamic":
+        return jax.jit(
+            lambda x: quantized_apply(model, variables, x, train=False)
+        )
+
+    state: dict[str, Any] = {}
+
+    def predict(x):
+        if "fn" not in state:
+            scales = calibrate_scales(model, variables, x, train=False)
+            state["fn"] = jax.jit(
+                lambda x: quantized_apply(model, variables, x,
+                                          scales=scales, train=False))
+        return state["fn"](x)
+
+    return predict

@@ -153,7 +153,7 @@ class SRService:
                  scale_factor: int | None = None, fused: bool = True,
                  num_channels: int | None = None,
                  micro_batch: bool = True, linger_ms: float = 3.0,
-                 quantize: bool = False):
+                 quantize: bool | str = False):
         if (artifact is None) == (model_name is None):
             raise ValueError("pass either --artifact or --model_name+--params")
         if quantize and artifact is not None:
@@ -412,9 +412,13 @@ def main(argv=None) -> int:
     p.add_argument("--num_channels", type=int, default=None)
     p.add_argument("--no_fused", action="store_true",
                    help="serve the exact graph instead of the fast tail")
-    p.add_argument("--quantize", action="store_true",
+    p.add_argument("--quantize", nargs="?", const="dynamic", default=False,
+                   choices=["dynamic", "static"],
                    help="int8 convs (model mode): int8 weight literals "
-                        "in the executable, ~0.007 dB quality cost")
+                        "in the executable, ~0.007 dB quality cost. "
+                        "'static' calibrates activation scales on the "
+                        "first request — the fast int8 mode (bare flag "
+                        "= dynamic)")
     p.add_argument("--no_micro_batch", action="store_true",
                    help="disable coalescing of concurrent same-bucket "
                         "artifact requests into one device dispatch")

@@ -221,6 +221,56 @@ def test_export_quantized_artifact_roundtrip(tmp_path):
     assert y.shape == (1, 32, 32, 1)
 
 
+def test_export_static_quantized_artifact_roundtrip(tmp_path):
+    """quantize='static': calibration happens pre-export on a synthetic
+    input and the artifact carries the baked scales (int8 literals, no
+    on-device amax reduce)."""
+    from sr.export import export_predict, load_artifact, save_artifact
+    from sr.models.registry import get_spec
+    from sr.utils.checkpoint import save_params
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="ESPCN", scale_factor=2, num_channels=1,
+                   dtype="float32")
+    model = get_spec("ESPCN").make_model(cfg)
+    v = model.init(jax.random.key(0), np.zeros((1, 8, 8, 1), np.float32),
+                   train=False)
+    path = str(tmp_path / "ESPCN_params.npz")
+    save_params(path, v["params"])
+    exp = export_predict("ESPCN", path, scale_factor=2, dtype="float32",
+                         lr_size=16, quantize="static")
+    txt = exp.mlir_module()
+    assert "xi8>" in txt
+    art = str(tmp_path / "espcn_int8s.hloart")
+    save_artifact(art, exp)
+    served = load_artifact(art)
+    y = served(jnp.full((1, 16, 16, 1), 0.5, jnp.float32))
+    assert y.shape == (1, 32, 32, 1)
+
+
+def test_upscale_quantize_static_close_to_f32(tmp_path):
+    from sr.data.datasets import SyntheticDataset
+    from sr.infer import upscale
+    from sr.models.registry import get_spec
+    from sr.utils.checkpoint import save_params
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="ESPCN", scale_factor=4, num_channels=1,
+                   dtype="float32")
+    model = get_spec("ESPCN").make_model(cfg)
+    v = model.init(jax.random.key(0), np.zeros((1, 8, 8, 1), np.float32),
+                   train=False)
+    path = str(tmp_path / "ESPCN_params.npz")
+    save_params(path, v["params"])
+    img = SyntheticDataset(1, (40, 40), 1)[0][..., 0]
+    ref = upscale(img, "ESPCN", path, scale_factor=4, dtype="float32",
+                  tile=None)
+    out = upscale(img, "ESPCN", path, scale_factor=4, dtype="float32",
+                  tile=None, quantize="static")
+    assert out.shape == ref.shape
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 6
+
+
 def test_serve_rejects_quantize_with_artifact():
     from sr.serve import SRService
 
@@ -246,6 +296,113 @@ def test_quantized_batch_independence():
         quantized_apply(model, variables, jnp.concatenate([x0, bright]))
     )[:1]
     np.testing.assert_array_equal(solo, paired)
+
+
+def test_quantize_activation_static_exact_on_grid():
+    from sr.quant import quantize_activation_static
+
+    rng = np.random.default_rng(7)
+    x = _grid(rng, (2, 5, 5, 3), 0.013)
+    q, s = quantize_activation_static(x, 0.013)
+    np.testing.assert_allclose(
+        np.asarray(q, np.float32) * float(s), np.asarray(x),
+        rtol=0, atol=1e-6,
+    )
+    # out-of-range saturates instead of wrapping
+    q2, _ = quantize_activation_static(x * 100.0, 0.013)
+    assert int(jnp.max(q2)) == 127 and int(jnp.min(q2)) == -127
+
+
+def test_calibrate_scales_sites_and_static_apply():
+    from sr.quant import calibrate_scales
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.relu(nn.Conv(8, (3, 3), padding="SAME")(x))
+            return nn.Conv(2, (3, 3), padding="SAME")(x)
+
+    model = Net()
+    x = jax.random.uniform(jax.random.key(1), (2, 8, 8, 2))
+    variables = model.init(jax.random.key(0), x)
+    scales = calibrate_scales(model, variables, x)
+    assert set(scales) == {"Conv_0", "Conv_1"}
+    # first conv's scale is the input's amax/127
+    np.testing.assert_allclose(
+        scales["Conv_0"], float(jnp.max(jnp.abs(x))) / 127.0, rtol=1e-6)
+    ref = np.asarray(model.apply(variables, x))
+    out = np.asarray(quantized_apply(model, variables, x, scales=scales))
+    scale = max(np.abs(ref).max(), 1e-3)
+    assert np.abs(out - ref).max() <= 0.05 * scale
+
+
+def test_calibrate_scales_scan_sites_fall_back():
+    """Convs inside an nn.scan body (DRCN's recursion) cannot export
+    their amax from the scan trace — calibration must skip them (not
+    crash) and the static apply falls back to dynamic scales there."""
+    from sr.models.registry import get_spec
+    from sr.quant import calibrate_scales
+    from sr.utils.config import SRConfig
+
+    spec = get_spec("DRCN")
+    cfg = SRConfig(model_name="DRCN", scale_factor=2, num_channels=1,
+                   dtype="float32", num_recursions=3)
+    model = spec.make_model(cfg)
+    x = jax.random.uniform(jax.random.key(1), (1, 16, 16, 1))
+    variables = model.init(jax.random.key(0), x, train=False)
+    scales = calibrate_scales(model, variables, x, train=False)
+    assert scales, "outer conv sites should calibrate"
+    assert not any("Scan" in k for k in scales), (
+        "scan-body sites must not capture")
+    ref = np.asarray(model.apply(variables, x, train=False))
+    out = np.asarray(jax.jit(lambda a: quantized_apply(
+        model, variables, a, scales=scales, train=False))(x))
+    rng_ = max(np.abs(ref).max(), 1e-3)
+    assert np.abs(out - ref).max() <= 0.08 * rng_
+
+
+def test_static_predict_lazy_and_batch_independent():
+    """mode='static' calibrates once on the first batch; because the
+    scales are then constants, outputs stay independent of co-batched
+    traffic (same guarantee the per-sample dynamic path gives)."""
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(4, (3, 3), padding="SAME")(x)
+
+    model = Net()
+    x0 = jax.random.uniform(jax.random.key(1), (1, 8, 8, 2))
+    bright = 2.0 * jax.random.uniform(jax.random.key(2), (1, 8, 8, 2))
+    variables = model.init(jax.random.key(0), x0)
+    fn = make_quantized_predict(model, variables, mode="static")
+    solo = np.asarray(fn(x0))
+    paired = np.asarray(fn(jnp.concatenate([x0, bright])))[:1]
+    np.testing.assert_array_equal(solo, paired)
+    with pytest.raises(ValueError, match="mode"):
+        make_quantized_predict(model, variables, mode="per_tensor")
+
+
+def test_fused_tail_quant_interior_close():
+    """int8 body + int8 collapsed affine tail stays close to the exact
+    f32 graph in the interior (border band excluded, as for the bf16
+    fused tail)."""
+    from sr.kernels.fused_tail import make_fused_tail_predict_quant
+    from sr.models.registry import get_spec
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="EDSR", scale_factor=2, num_channels=3,
+                   dtype="float32", num_resblocks=2, base_filter=16)
+    model = get_spec("EDSR").make_model(cfg)
+    x = jax.random.uniform(jax.random.key(1), (1, 16, 16, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    fn = make_fused_tail_predict_quant(model, variables)
+    out = np.asarray(fn(x))
+    ref = np.asarray(model.apply(variables, x, train=False))
+    assert out.shape == ref.shape
+    m = (7 // 2) * 2  # support//2 * r border band
+    rng_ = max(ref.max() - ref.min(), 1e-3)
+    err = np.abs((out - ref)[:, m:-m, m:-m]).max() / rng_
+    assert err <= 0.05, err
 
 
 def test_interceptor_padding_eligibility():
