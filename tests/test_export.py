@@ -97,3 +97,29 @@ def test_bundle_roundtrip(tmp_path):
     meta3, buckets3 = load_bundle(legacy)
     assert meta3 is None
     assert [(h, w) for h, w, _ in buckets3] == [(8, 8)]
+
+
+def test_bundle_static_quantized(tmp_path):
+    """quantize='static' bundles: one calibration (smallest bucket)
+    shared across buckets, int8 literals in every payload, and the
+    served outputs stay close to f32."""
+    from sr.export import export_bundle, load_bundle, save_bundle
+
+    path, model, variables, c = _tiny_params(
+        tmp_path, "ESPCN", num_channels=1)
+    meta, exports = export_bundle(
+        "ESPCN", path, scale_factor=4, num_channels=1, dtype="float32",
+        lr_sizes=(8, 12), quantize="static")
+    for e in exports:
+        assert "xi8>" in e.mlir_module()
+    art = str(tmp_path / "espcn_int8s.srbundle")
+    save_bundle(art, meta, exports)
+    _, buckets = load_bundle(art)
+    for h, w, fn in buckets:
+        x = jax.random.uniform(jax.random.key(h), (1, h, w, c))
+        want = np.asarray(model.apply(variables, x, train=False))
+        got = np.asarray(fn(x))
+        scale = max(np.abs(want).max(), 1e-3)
+        # calibration used a different random draw than this input, so
+        # mild saturation on out-of-range activations is expected
+        assert np.abs(got - want).max() <= 0.12 * scale + 5e-3

@@ -63,6 +63,36 @@ def test_serve_model_mode_roundtrip(espcn_params):
         httpd.shutdown()
 
 
+def test_serve_model_mode_quantize_static(espcn_params):
+    """--quantize static end-to-end over HTTP: first request calibrates,
+    output stays a valid image close to the f32 serve."""
+    f32 = SRService(model_name="ESPCN", params=espcn_params,
+                    scale_factor=4, num_channels=1, fused=False)
+    q = SRService(model_name="ESPCN", params=espcn_params,
+                  scale_factor=4, num_channels=1, fused=False,
+                  quantize="static")
+    img = np.random.default_rng(1).integers(0, 255, (16, 12, 3), np.uint8)
+    outs = {}
+    for name, svc in [("f32", f32), ("q", q)]:
+        httpd, port = serve_background(svc)
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port,
+                                              timeout=60)
+            for _ in range(2):  # second request reuses the calibration
+                conn.request("POST", "/upscale", body=_png_bytes(img),
+                             headers={"Content-Type": "image/png"})
+                resp = conn.getresponse()
+                assert resp.status == 200, resp.read()
+                body = resp.read()
+            from PIL import Image
+
+            outs[name] = np.asarray(Image.open(io.BytesIO(body)))
+        finally:
+            httpd.shutdown()
+    assert outs["q"].shape == outs["f32"].shape == (64, 48, 3)
+    assert np.abs(outs["q"].astype(int) - outs["f32"].astype(int)).max() <= 8
+
+
 def test_serve_artifact_mode_enforces_contract(tmp_path, espcn_params):
     from sr.export import export_predict, save_artifact
 
