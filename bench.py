@@ -10,8 +10,13 @@ chip. Two programs are timed:
   * exact — the reference EDSR graph;
   * fused — the same weights with the affine upsampling tail collapsed
     into one conv (sr/kernels/fused_tail.py; interior-identical, the
-    production serving mode). The fused number is the headline; the
-    exact number goes to stderr and is the fallback if fusion fails.
+    production serving mode);
+  * int8-static fused — static-calibrated int8 body + int8 collapsed
+    tail (sr/quant.py + make_fused_tail_predict_quant; quality cost
+    measured on the trained zoo in PERF.md/results_zoo_r3.json).
+
+The fastest variant is the headline (its label names the mode); the
+others go to stderr, and exact is the fallback if fusion fails.
 
 Timing method: MARGINAL Δpixels/Δtime between batch 32 and 64 — this
 environment's TPU sits behind a relay with a large fixed per-dispatch
@@ -134,6 +139,26 @@ def main() -> None:
         value = _measure(fused, key, "fused")
         if value < exact_mps:  # fusion should never be slower; be honest
             value, label = exact_mps, "exact graph"
+
+        try:  # int8-static serving mode: headline only if faster
+            from sr.kernels.fused_tail import make_fused_tail_predict_quant
+
+            qfn = make_fused_tail_predict_quant(model, variables)
+            qfn(jax.random.normal(  # eager warm runs the calibration
+                key, (1, LR_SIZE, LR_SIZE, 3), jnp.float32))
+
+            @jax.jit
+            def quant_fused(x):
+                return jnp.sum(qfn(x).astype(jnp.float32))
+
+            qvalue = _measure(quant_fused, key, "int8-static fused")
+            if qvalue > value:
+                value = qvalue
+                label = ("int8-static fused serving mode "
+                         "(quality delta measured in PERF.md)")
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] int8-static path unavailable ({e})",
+                  file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] fused path unavailable ({e}); exact fallback",
               file=sys.stderr)
