@@ -40,6 +40,12 @@ def main() -> None:
         scales = calibrate_scales(model, variables, x[:1], train=False)
         fn = jax.jit(lambda x: quantized_apply(
             model, variables, x, scales=scales, train=False))
+    elif variant == "quant_fused":
+        from sr.kernels.fused_tail import make_fused_tail_predict_quant
+
+        qfn = make_fused_tail_predict_quant(model, variables)
+        qfn(x[:1].astype(jnp.float32))  # eager warm runs calibration
+        fn = qfn
     elif variant == "folded":
         from sr.kernels.shuffle_fold import make_folded_tail_predict
 
