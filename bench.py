@@ -139,30 +139,30 @@ def main() -> None:
         value = _measure(fused, key, "fused")
         if value < exact_mps:  # fusion should never be slower; be honest
             value, label = exact_mps, "exact graph"
-
-        try:  # int8-static serving mode: headline only if faster
-            from sr.kernels.fused_tail import make_fused_tail_predict_quant
-
-            qfn = make_fused_tail_predict_quant(model, variables)
-            qfn(jax.random.normal(  # eager warm runs the calibration
-                key, (1, LR_SIZE, LR_SIZE, 3), jnp.float32))
-
-            @jax.jit
-            def quant_fused(x):
-                return jnp.sum(qfn(x).astype(jnp.float32))
-
-            qvalue = _measure(quant_fused, key, "int8-static fused")
-            if qvalue > value:
-                value = qvalue
-                label = ("int8-static fused serving mode "
-                         "(quality delta measured in PERF.md)")
-        except Exception as e:  # noqa: BLE001
-            print(f"[bench] int8-static path unavailable ({e})",
-                  file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] fused path unavailable ({e}); exact fallback",
               file=sys.stderr)
         value, label = exact_mps, "exact graph"
+
+    try:  # int8-static serving mode: headline only if faster
+        from sr.kernels.fused_tail import make_fused_tail_predict_quant
+
+        qfn = make_fused_tail_predict_quant(model, variables)
+        qfn(jax.random.normal(  # eager warm runs the calibration
+            key, (1, LR_SIZE, LR_SIZE, 3), jnp.float32))
+
+        @jax.jit
+        def quant_fused(x):
+            return jnp.sum(qfn(x).astype(jnp.float32))
+
+        qvalue = _measure(quant_fused, key, "int8-static fused")
+        if qvalue > value:
+            value = qvalue
+            label = ("int8-static fused serving mode "
+                     "(quality delta measured in PERF.md)")
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] int8-static path unavailable ({e})",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": f"EDSR x4 SR inference throughput (output MP/s, 1 chip, {label})",

@@ -115,9 +115,13 @@ def main() -> None:
             "variant": name, "model": model_name, "lr": lr, "B": B,
             "K": K, "ms_per_batch": round(dt * 1e3, 2),
             "mps": round(out_mp / dt, 1)}), flush=True)
-    if "bf16" in results:
-        print(json.dumps({"speedup_vs_bf16": {
-            k: round(results["bf16"] / v, 2) for k, v in results.items()
+    if results:
+        # baseline = first variant that ran (canonical order puts the
+        # bf16 reference first in any filter set that includes one)
+        base_name = next(iter(results))
+        base = results[base_name]
+        print(json.dumps({f"speedup_vs_{base_name}": {
+            k: round(base / v, 2) for k, v in results.items()
         }}), flush=True)
 
 

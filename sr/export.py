@@ -34,7 +34,8 @@ import numpy as np
 def _build_predict(model_name: str, params_path: str, scale_factor: int,
                    num_channels: int | None, dtype: str, fused: bool,
                    cfg_overrides: dict | None = None,
-                   quantize: bool | str = False):
+                   quantize: bool | str = False,
+                   calib_headroom: float = 1.0):
     from sr.models.registry import get_spec
     from sr.utils.checkpoint import load_params
     from sr.utils.config import SRConfig
@@ -52,7 +53,9 @@ def _build_predict(model_name: str, params_path: str, scale_factor: int,
 
     from sr.infer import make_serving_predict
 
-    return make_serving_predict(model, variables, fused, quantize), channels
+    return (make_serving_predict(model, variables, fused, quantize,
+                                 calib_headroom=calib_headroom),
+            channels)
 
 
 def export_predict(
@@ -67,15 +70,18 @@ def export_predict(
     platforms: tuple[str, ...] | None = None,
     cfg_overrides: dict | None = None,
     quantize: bool | str = False,
+    calib_input=None,
 ):
     """Lower a trained model's predict fn to a serializable Exported.
 
     ``quantize``: int8 convs (sr.quant) — the artifact then carries
     int8 weight literals (≈4x smaller than f32 weights). ``"static"``
     bakes calibrated activation scales in as constants (the fast int8
-    mode); since AOT export has no request data, calibration uses a
-    uniform-random [0,1) input at the export shape — representative for
-    u8-normalized images.
+    mode). ``calib_input``: a representative (1, h, w, C) f32 batch for
+    static calibration (e.g. a real LR image in [0, 1]); when None,
+    calibration falls back to uniform-random noise with 1.25x headroom
+    — noise excites different conv responses than natural images, so
+    prefer passing a real image when artifact quality matters.
 
     ``lr_size``: the (static) LR input spatial size this artifact serves
     (pre-upsample models receive the bicubic-upscaled input, so pass the
@@ -87,13 +93,17 @@ def export_predict(
 
     predict, channels = _build_predict(
         model_name, params_path, scale_factor, num_channels, dtype, fused,
-        cfg_overrides, quantize)
+        cfg_overrides, quantize,
+        calib_headroom=1.0 if calib_input is not None else 1.25)
     h, w = (lr_size, lr_size) if isinstance(lr_size, int) else lr_size
     if quantize == "static":
         # the lazy predict calibrates on its first (concrete) batch —
         # must happen BEFORE jex.export traces it with abstract shapes
-        calib = jax.random.uniform(jax.random.key(0), (1, h, w, channels),
-                                   jnp.float32)
+        if calib_input is not None:
+            calib = jnp.asarray(calib_input, jnp.float32)
+        else:  # noise fallback: 1.25x scale headroom (see docstring)
+            calib = jax.random.uniform(jax.random.key(0),
+                                       (1, h, w, channels), jnp.float32)
         predict(calib)
     if symbolic_batch:
         (b,) = jex.symbolic_shape("b")
@@ -130,6 +140,7 @@ def export_bundle(
     platforms: tuple[str, ...] | None = None,
     cfg_overrides: dict | None = None,
     quantize: bool | str = False,
+    calib_input=None,
 ):
     """Export one artifact per input size plus embedded metadata.
 
@@ -143,14 +154,17 @@ def export_bundle(
 
     predict, channels = _build_predict(
         model_name, params_path, scale_factor, num_channels, dtype, fused,
-        cfg_overrides, quantize)
+        cfg_overrides, quantize,
+        calib_headroom=1.0 if calib_input is not None else 1.25)
     exports, buckets = [], []
     for size in sorted(set(lr_sizes)):
         h, w = (size, size) if isinstance(size, int) else size
         if quantize == "static" and not exports:
             # calibrate the lazy static predict on the smallest bucket
             # (scales are shape-independent and shared by all buckets)
-            predict(jax.random.uniform(jax.random.key(0),
+            predict(jnp.asarray(calib_input, jnp.float32)
+                    if calib_input is not None else
+                    jax.random.uniform(jax.random.key(0),
                                        (1, h, w, channels), jnp.float32))
         if symbolic_batch:
             (b,) = jex.symbolic_shape("b")
@@ -280,6 +294,11 @@ def main(argv: list[str] | None = None) -> None:
                         "artifact (~4x smaller weights, ~0.007 dB). "
                         "'static' bakes calibrated activation scales in "
                         "— the fast int8 mode (bare flag = dynamic)")
+    p.add_argument("--calib_image", default=None,
+                   help="representative image file for --quantize "
+                        "static calibration (resized/cropped to the "
+                        "smallest lr_size; default: uniform noise with "
+                        "1.25x scale headroom)")
     a = p.parse_args(argv)
     overrides = {
         k: v for k, v in
@@ -288,11 +307,24 @@ def main(argv: list[str] | None = None) -> None:
         if v is not None
     }
     platforms = tuple(a.platforms) if a.platforms else None
+    calib = None
+    if a.calib_image:
+        from PIL import Image
+
+        from sr.models.registry import get_spec
+
+        c = a.num_channels or get_spec(a.model_name).default_channels
+        side = min(a.lr_size)
+        im = Image.open(a.calib_image).convert("L" if c == 1 else "RGB")
+        im = im.resize((side, side), Image.BICUBIC)
+        calib = (np.asarray(im, np.float32) / 255.0).reshape(
+            1, side, side, c)
     if len(a.lr_size) > 1:
         meta, exports = export_bundle(
             a.model_name, a.params, a.scale_factor, a.num_channels, a.dtype,
             a.fused, lr_sizes=tuple(a.lr_size), platforms=platforms,
             cfg_overrides=overrides or None, quantize=a.quantize,
+            calib_input=calib,
         )
         save_bundle(a.out, meta, exports)
         print(f"exported {a.model_name} bundle -> {a.out} "
@@ -303,6 +335,7 @@ def main(argv: list[str] | None = None) -> None:
         a.fused, a.lr_size[0],
         platforms=platforms,
         cfg_overrides=overrides or None, quantize=a.quantize,
+        calib_input=calib,
     )
     save_artifact(a.out, exp)
     in_shape = exp.in_avals[0].shape

@@ -25,7 +25,8 @@ from sr.utils.config import SRConfig
 
 
 def make_serving_predict(model, variables, fused: bool,
-                         quantize: bool | str = False):
+                         quantize: bool | str = False,
+                         calib_headroom: float = 1.0):
     """ONE place for the serving-variant policy, shared by sr.infer and
     sr.export: ``fused`` picks the collapsed affine tail where the tail
     is affine (EDSR), else the exact phase-folded tail (SRResNet/SRGAN);
@@ -37,18 +38,24 @@ def make_serving_predict(model, variables, fused: bool,
     ``fused``, composes with the collapsed affine tail — the fastest
     serving path (PERF.md round-3 int8-static entry)."""
     if quantize:
+        if quantize not in (True, "dynamic", "static"):
+            raise ValueError(
+                f"quantize must be False/True/'dynamic'/'static', "
+                f"got {quantize!r}")
         mode = "static" if quantize == "static" else "dynamic"
         if mode == "static" and fused and hasattr(model, "tail"):
             try:
                 from sr.kernels.fused_tail import (
                     make_fused_tail_predict_quant)
 
-                return make_fused_tail_predict_quant(model, variables)
+                return make_fused_tail_predict_quant(
+                    model, variables, calib_headroom=calib_headroom)
             except (ValueError, KeyError):
                 pass  # non-affine tail: exact-graph static int8 below
         from sr.quant import make_quantized_predict
 
-        return make_quantized_predict(model, variables, mode=mode)
+        return make_quantized_predict(model, variables, mode=mode,
+                                      calib_headroom=calib_headroom)
     if fused and hasattr(model, "tail"):
         try:
             # affine tails (EDSR) collapse to one conv (interior-exact)

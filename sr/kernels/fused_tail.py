@@ -26,6 +26,7 @@ band is acceptable; parity evals keep the exact path.
 from __future__ import annotations
 
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -151,7 +152,8 @@ def make_fused_tail_predict(model, variables, support: int = 7):
     return predict
 
 
-def make_fused_tail_predict_quant(model, variables, support: int = 7):
+def make_fused_tail_predict_quant(model, variables, support: int = 7,
+                                  calib_headroom: float = 1.0):
     """Fused affine tail + STATIC-int8 body: the fast serving composite.
 
     Body convs run s8xs8->s32 with calibrated per-tensor activation
@@ -178,33 +180,69 @@ def make_fused_tail_predict_quant(model, variables, support: int = 7):
         np.clip(np.round(K / s_K), -127, 127).astype(np.int8))
     b_j = jnp.asarray(b, jnp.float32)
 
+    def _first_tail_conv_site() -> str | None:
+        """Site key of the tail's first eligible conv — its calibrated
+        input scale IS the body-output scale (an abstract eval_shape
+        trace: no compile, no device work)."""
+        from sr.quant import _eligible, _site_key
+
+        import flax.linen as nn
+
+        found: list[str] = []
+
+        def probe(next_fun, args, kwargs, context):
+            m = context.module
+            if (not found and _eligible(m, args)
+                    and context.method_name == "__call__"):
+                found.append(_site_key(m))
+            return next_fun(*args, **kwargs)
+
+        with nn.intercept_methods(probe):
+            jax.eval_shape(
+                lambda z: model.apply(variables, z, train=False,
+                                      method="tail"),
+                jax.ShapeDtypeStruct((1, 4 * support, 4 * support,
+                                      model.base_filter), jnp.float32))
+        return found[0] if found else None
+
     state: dict = {}
+    lock = threading.Lock()  # serve handler threads
 
     def predict(x):
         if "fn" not in state:
-            scales = calibrate_scales(model, variables, x, train=False)
+            with lock:
+                if "fn" not in state:
+                    state["fn"] = _build(x)
+        return state["fn"](x)
+
+    def _build(x):
+        scales = calibrate_scales(model, variables, x,
+                                  headroom=calib_headroom, train=False)
+        site = _first_tail_conv_site()
+        if site is not None and site in scales:
+            s_h = scales[site]  # body output == first tail conv input
+        else:  # fallback: one extra jitted body forward
             h_cal = jax.jit(lambda z: model.apply(
                 variables, z, train=False, method="body"))(x)
             s_h = max(
-                float(jnp.max(jnp.abs(h_cal.astype(jnp.float32)))) / 127.0,
-                _EPS)
-            s_out = jnp.asarray(s_h * s_K, jnp.float32)
+                float(jnp.max(jnp.abs(h_cal.astype(jnp.float32))))
+                / 127.0, _EPS)
+        s_out = jnp.asarray(s_h * s_K, jnp.float32)
 
-            @jax.jit
-            def fn(x):
-                h = quantized_apply(model, variables, x, scales=scales,
-                                    train=False, method="body")
-                q_h = jnp.clip(
-                    jnp.round(h.astype(jnp.float32) * (1.0 / s_h)),
-                    -127, 127).astype(jnp.int8)
-                z = jax.lax.conv_general_dilated(
-                    q_h, qK_j, (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * s_out + b_j
-                return depth_to_space_ref(z.astype(h.dtype), r)
+        @jax.jit
+        def fn(x):
+            h = quantized_apply(model, variables, x, scales=scales,
+                                train=False, method="body")
+            q_h = jnp.clip(
+                jnp.round(h.astype(jnp.float32) * (1.0 / s_h)),
+                -127, 127).astype(jnp.int8)
+            z = jax.lax.conv_general_dilated(
+                q_h, qK_j, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * s_out + b_j
+            return depth_to_space_ref(z.astype(h.dtype), r)
 
-            state["fn"] = fn
-        return state["fn"](x)
+        return fn
 
     return predict

@@ -40,9 +40,12 @@ from __future__ import annotations
 
 from typing import Any
 
+import threading
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 _EPS = 1e-12
@@ -164,8 +167,14 @@ def calibrate_scales(model: nn.Module, variables: dict, x: jax.Array,
         return captured
 
     out = jax.jit(_capture)(x)
+    # ONE device->host transfer for all sites: per-scalar float() would
+    # pay the relay's ~25 ms round trip per conv site (~1 s on EDSR)
+    keys = list(out)
+    if not keys:
+        return {}
+    vals = np.asarray(jnp.stack([out[k] for k in keys]))
     return {k: max(float(v) * headroom / 127.0, _EPS)
-            for k, v in out.items()}
+            for k, v in zip(keys, vals)}
 
 
 def int8_conv(x: jax.Array, m: nn.Conv,
@@ -221,7 +230,8 @@ def quantized_apply(model: nn.Module, variables: dict, x: jax.Array,
 
 
 def make_quantized_predict(model: nn.Module, variables: dict,
-                           mode: str = "dynamic"):
+                           mode: str = "dynamic",
+                           calib_headroom: float = 1.0):
     """Jitted serving forward with int8 convs. ``variables`` are closed
     over, so XLA folds the weight quantization at compile time and the
     executable carries int8 weight literals.
@@ -247,13 +257,19 @@ def make_quantized_predict(model: nn.Module, variables: dict,
         )
 
     state: dict[str, Any] = {}
+    lock = threading.Lock()  # sr.serve serves from handler threads
 
     def predict(x):
         if "fn" not in state:
-            scales = calibrate_scales(model, variables, x, train=False)
-            state["fn"] = jax.jit(
-                lambda x: quantized_apply(model, variables, x,
-                                          scales=scales, train=False))
+            with lock:
+                if "fn" not in state:
+                    scales = calibrate_scales(
+                        model, variables, x, headroom=calib_headroom,
+                        train=False)
+                    state["fn"] = jax.jit(
+                        lambda x: quantized_apply(model, variables, x,
+                                                  scales=scales,
+                                                  train=False))
         return state["fn"](x)
 
     return predict
