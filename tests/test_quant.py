@@ -271,6 +271,62 @@ def test_upscale_quantize_static_close_to_f32(tmp_path):
     assert np.abs(out.astype(int) - ref.astype(int)).max() <= 6
 
 
+def test_upscale_static_fused_tiled_composition(tmp_path):
+    """The production fast path: quantize='static' + fused=True +
+    halo tiling, all composed through upscale(). Locks that the
+    quant-fused builder slots into the tiling contract (interior-exact
+    halos) and calibrates once on the first tile."""
+    from sr.infer import upscale
+    from sr.models.registry import get_spec
+    from sr.utils.checkpoint import save_params
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="EDSR", scale_factor=2, num_channels=3,
+                   dtype="float32")  # default topology: upscale()
+    model = get_spec("EDSR").make_model(cfg)  # rebuilds from defaults
+    v = model.init(jax.random.key(0), np.zeros((1, 8, 8, 3), np.float32),
+                   train=False)
+    path = str(tmp_path / "EDSR_params.npz")
+    save_params(path, v["params"])
+    img = np.random.default_rng(3).integers(0, 255, (40, 40, 3), np.uint8)
+    ref = upscale(img, "EDSR", path, scale_factor=2, dtype="float32",
+                  tile=None)
+    out = upscale(img, "EDSR", path, scale_factor=2, dtype="float32",
+                  tile=24, fused=True, quantize="static")
+    assert out.shape == ref.shape == (80, 80, 3)
+    # int8 + border-band: loose u8 bound, interior dominated by quant noise
+    assert np.abs(out.astype(int) - ref.astype(int)).mean() <= 4
+
+
+def test_export_bundle_fused_static(tmp_path):
+    """fused=True + quantize='static' bundle: the quant-fused EDSR
+    serving graph exports and serves per bucket."""
+    from sr.export import export_bundle, load_bundle, save_bundle
+    from sr.models.registry import get_spec
+    from sr.utils.checkpoint import save_params
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="EDSR", scale_factor=2, num_channels=3,
+                   dtype="float32", num_resblocks=2, base_filter=8)
+    model = get_spec("EDSR").make_model(cfg)
+    v = model.init(jax.random.key(0), np.zeros((1, 8, 8, 3), np.float32),
+                   train=False)
+    path = str(tmp_path / "EDSR_params.npz")
+    save_params(path, v["params"])
+    meta, exports = export_bundle(
+        "EDSR", path, scale_factor=2, num_channels=3, dtype="float32",
+        fused=True, lr_sizes=(16, 24), quantize="static",
+        cfg_overrides={"num_resblocks": 2, "base_filter": 8})
+    assert all("xi8>" in e.mlir_module() for e in exports)
+    art = str(tmp_path / "edsr_qf.srbundle")
+    save_bundle(art, meta, exports)
+    _, buckets = load_bundle(art)
+    for h, w, fn in buckets:
+        y = fn(jnp.full((1, h, w, 3), 0.4, jnp.float32))
+        assert y.shape == (1, 2 * h, 2 * w, 3)
+        assert np.isfinite(np.asarray(y)).all()
+
+
 def test_serve_rejects_quantize_with_artifact():
     from sr.serve import SRService
 
