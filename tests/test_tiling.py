@@ -95,3 +95,23 @@ def test_sharded_predict_matches():
     full = np.asarray(fn(x))
     out = np.asarray(sharded_predict(fn, x, mesh))
     np.testing.assert_allclose(out, full, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_predict_static_int8_matches():
+    """Multi-chip int8 serving: the static-scale quantized forward under
+    GSPMD row sharding equals its single-device run exactly (int8 conv
+    partitioning + halo exchange + constant scales)."""
+    from sr.quant import calibrate_scales, quantized_apply
+
+    cfg = SRConfig(model_name="ESPCN", scale_factor=2, num_channels=1,
+                   dtype="float32")
+    model = get_spec("ESPCN").make_model(cfg)
+    x = jax.random.uniform(jax.random.key(0), (1, 96, 80, 1))
+    variables = model.init(jax.random.key(1), x[:, :8, :8], train=False)
+    scales = calibrate_scales(model, variables, x, train=False)
+    fn = jax.jit(lambda z: quantized_apply(model, variables, z,
+                                           scales=scales, train=False))
+    mesh = make_mesh((1, 8), ("data", "spatial"))
+    single = np.asarray(fn(x))
+    out = np.asarray(sharded_predict(fn, x, mesh))
+    np.testing.assert_allclose(out, single, rtol=1e-6, atol=1e-6)
