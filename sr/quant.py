@@ -177,6 +177,24 @@ def calibrate_scales(model: nn.Module, variables: dict, x: jax.Array,
             for k, v in zip(keys, vals)}
 
 
+def calibrate_scales_batches(model: nn.Module, variables: dict,
+                             batches, headroom: float = 1.0,
+                             **apply_kwargs) -> dict[str, float]:
+    """``calibrate_scales`` over an iterable of batches, keeping each
+    site's max — use when one batch may under-represent the activation
+    range (e.g. calibrating an export artifact on a handful of real
+    images instead of serving's first request)."""
+    out: dict[str, float] = {}
+    for x in batches:
+        s = calibrate_scales(model, variables, x, headroom=headroom,
+                             **apply_kwargs)
+        for k, v in s.items():
+            out[k] = max(out.get(k, 0.0), v)
+    if not out:
+        raise ValueError("calibrate_scales_batches: empty batch iterable")
+    return out
+
+
 def int8_conv(x: jax.Array, m: nn.Conv,
               static_scale: float | None = None) -> jax.Array:
     """Run a bound ``nn.Conv`` module's conv as s8 x s8 -> s32 with an

@@ -417,6 +417,25 @@ def test_calibrate_scales_scan_sites_fall_back():
     assert np.abs(out - ref).max() <= 0.08 * rng_
 
 
+def test_calibrate_scales_batches_keeps_max():
+    from sr.quant import calibrate_scales, calibrate_scales_batches
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(4, (3, 3), padding="SAME")(x)
+
+    model = Net()
+    x1 = jax.random.uniform(jax.random.key(1), (1, 8, 8, 2))
+    x2 = 3.0 * jax.random.uniform(jax.random.key(2), (1, 8, 8, 2))
+    variables = model.init(jax.random.key(0), x1)
+    agg = calibrate_scales_batches(model, variables, [x1, x2])
+    only2 = calibrate_scales(model, variables, x2)
+    assert agg == only2  # x2 dominates every site
+    with pytest.raises(ValueError, match="empty"):
+        calibrate_scales_batches(model, variables, [])
+
+
 def test_static_predict_lazy_and_batch_independent():
     """mode='static' calibrates once on the first batch; because the
     scales are then constants, outputs stay independent of co-batched
