@@ -42,4 +42,9 @@ run_step timeout 1800 python scripts/bench_serve_latency.py 1 128 \
   >/tmp/q_lat.log 2>&1
 log "   rc=$?"
 
+log "6. Pallas int8 im2col conv: Mosaic gate + A/B vs XLA int8 conv"
+run_step timeout 1500 python scripts/bench_pallas_int8.py 16 128 64 100 \
+  >/tmp/q_pallas.log 2>&1
+log "   rc=$?"
+
 log "queue done"

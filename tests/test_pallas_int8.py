@@ -1,0 +1,41 @@
+"""Pallas int8 im2col conv (sr/kernels/int8_conv.py) — interpret-mode
+bit-exactness vs the XLA int8 conv (int32 accumulation is exact, so
+equality is integer-exact, not approximate)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sr.kernels.int8_conv import (
+    conv3x3_int8_im2col,
+    conv3x3_int8_reference,
+)
+
+
+@pytest.mark.parametrize(
+    "B,H,W,C,N",
+    [
+        (1, 8, 8, 8, 8),
+        (2, 16, 12, 8, 16),
+        (1, 6, 10, 4, 4),   # H not divisible by 4 strips -> TH=2
+        (1, 5, 7, 4, 8),    # odd sizes -> TH=1
+    ],
+)
+def test_im2col_matches_xla_int8_conv(B, H, W, C, N):
+    kx, kw = jax.random.split(jax.random.key(0))
+    q_x = jax.random.randint(kx, (B, H, W, C), -127, 128, jnp.int8)
+    q_w = jax.random.randint(kw, (3, 3, C, N), -127, 128, jnp.int8)
+    want = np.asarray(conv3x3_int8_reference(q_x, q_w))
+    got = np.asarray(conv3x3_int8_im2col(q_x, q_w, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_im2col_saturating_inputs_exact():
+    """Extremes: +/-127 everywhere — accumulator reaches 9*C*127*127
+    (~5.9e6 at C=64), far inside int32; equality must hold exactly."""
+    q_x = jnp.full((1, 8, 8, 16), 127, jnp.int8)
+    q_w = jnp.full((3, 3, 16, 8), -127, jnp.int8)
+    want = np.asarray(conv3x3_int8_reference(q_x, q_w))
+    got = np.asarray(conv3x3_int8_im2col(q_x, q_w, interpret=True))
+    np.testing.assert_array_equal(got, want)
