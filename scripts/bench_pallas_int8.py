@@ -54,15 +54,31 @@ def main() -> None:
               flush=True)
         return
 
+    from sr.kernels.int8_conv import conv3x3_bf16_im2col
+
+    wbf = (q_w.astype(jnp.bfloat16) / (16.0 * C))
+    xbf = q_x.astype(jnp.bfloat16) / 128.0
+
+    def xla_bf16(x):
+        return lax.conv_general_dilated(
+            x, wbf, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+
     variants = {
-        "xla_int8_conv": lambda x: conv3x3_int8_reference(x, q_w),
-        "pallas_im2col": lambda x: conv3x3_int8_im2col(x, q_w),
+        "xla_int8_conv": (lambda x: conv3x3_int8_reference(x, q_w), q_x),
+        "pallas_im2col": (lambda x: conv3x3_int8_im2col(x, q_w), q_x),
+        "xla_bf16_conv": (xla_bf16, xbf),
+        "pallas_bf16_im2col": (lambda x: conv3x3_bf16_im2col(x, wbf),
+                               xbf),
     }
     results = {}
-    for name, fn in variants.items():
+    for name, (fn, x0) in variants.items():
         def body(x, _, fn=fn):
             y = fn(x)
-            return (y >> 8).astype(jnp.int8), ()
+            if y.dtype == jnp.int32:
+                return (y >> 8).astype(jnp.int8), ()
+            return y.astype(jnp.bfloat16), ()
 
         @jax.jit
         def run(x, body=body):
@@ -71,7 +87,7 @@ def main() -> None:
 
         for attempt in range(3):
             try:
-                float(run(q_x))
+                float(run(x0))
                 break
             except Exception as e:  # noqa: BLE001
                 print(f"[pallas-i8] {name} attempt {attempt}: {e}",
@@ -82,7 +98,7 @@ def main() -> None:
         times = []
         for _ in range(5):
             t0 = time.perf_counter()
-            float(run(q_x))
+            float(run(x0))
             times.append(time.perf_counter() - t0)
         dt = sorted(times)[len(times) // 2]
         results[name] = dt
@@ -90,10 +106,11 @@ def main() -> None:
                           "K": K, "ms": round(dt * 1e3, 2),
                           "tflops": round(flops / dt / 1e12, 1)}),
               flush=True)
-    if len(results) == 2:
-        print(json.dumps({"pallas_speedup": round(
-            results["xla_int8_conv"] / results["pallas_im2col"], 2)}),
-            flush=True)
+    for pallas, ref in [("pallas_im2col", "xla_int8_conv"),
+                        ("pallas_bf16_im2col", "xla_bf16_conv")]:
+        if pallas in results and ref in results:
+            print(json.dumps({f"{pallas}_speedup": round(
+                results[ref] / results[pallas], 2)}), flush=True)
 
 
 if __name__ == "__main__":

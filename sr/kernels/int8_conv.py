@@ -37,10 +37,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, w_ref, out_ref, *, H, W, C, N, TH):
-    # x_ref: (1, H+2, W+2, C) int8 — one padded image
-    # w_ref: (9*C, N) int8 — tap-major (dy, dx) row-major, C fastest
-    # out_ref: (1, H, W, N) int32
+def _kernel(x_ref, w_ref, out_ref, *, H, W, C, N, TH, acc_dtype):
+    # x_ref: (1, H+2, W+2, C) int8/bf16 — one padded image
+    # w_ref: (9*C, N) same dtype — tap-major (dy, dx) row-major
+    # out_ref: (1, H, W, N) int32/f32 accumulator
     for s in range(H // TH):
         r0 = s * TH
         patches = jnp.concatenate(
@@ -51,9 +51,9 @@ def _kernel(x_ref, w_ref, out_ref, *, H, W, C, N, TH):
                 for dx in range(3)
             ],
             axis=-1,
-        )  # (TH*W, 9C) int8, built in VMEM
+        )  # (TH*W, 9C), built in VMEM
         acc = jnp.dot(patches, w_ref[:],
-                      preferred_element_type=jnp.int32)
+                      preferred_element_type=acc_dtype)
         out_ref[0, r0:r0 + TH, :, :] = acc.reshape(TH, W, N)
 
 
@@ -62,6 +62,31 @@ def _pick_strip(H: int) -> int:
         if H % th == 0:
             return th
     return 1
+
+
+def _conv3x3_im2col(x: jax.Array, w: jax.Array, acc_dtype,
+                    interpret: bool) -> jax.Array:
+    B, H, W, C = x.shape
+    N = w.shape[-1]
+    TH = _pick_strip(H)
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    w2 = w.reshape(9 * C, N)  # (dy, dx, c) row-major == concat order
+
+    return pl.pallas_call(
+        functools.partial(_kernel, H=H, W=W, C=C, N=N, TH=TH,
+                          acc_dtype=acc_dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H + 2, W + 2, C), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * C, N), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, N), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, N), acc_dtype),
+        interpret=interpret,
+    )(x_pad, w2)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -73,26 +98,19 @@ def conv3x3_int8_im2col(q_x: jax.Array, q_w: jax.Array,
     Returns (B, H, W, N) int32 — the exact accumulator, equal to
     ``lax.conv_general_dilated(..., preferred_element_type=int32)``.
     """
-    B, H, W, C = q_x.shape
-    N = q_w.shape[-1]
-    TH = _pick_strip(H)
-    x_pad = jnp.pad(q_x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    w2 = q_w.reshape(9 * C, N)  # (dy, dx, c) row-major == concat order
+    return _conv3x3_im2col(q_x, q_w, jnp.int32, interpret)
 
-    return pl.pallas_call(
-        functools.partial(_kernel, H=H, W=W, C=C, N=N, TH=TH),
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, H + 2, W + 2, C), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * C, N), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, H, W, N), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, W, N), jnp.int32),
-        interpret=interpret,
-    )(x_pad, w2)
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def conv3x3_bf16_im2col(x: jax.Array, w: jax.Array,
+                        interpret: bool = False) -> jax.Array:
+    """Same kernel, bf16 x bf16 -> f32: the ceiling argument holds for
+    the DEFAULT bf16 serving path too — XLA's bf16 conv measures 39.4
+    TFLOP/s at the zoo's K=64/N=64 shapes, ~80% of that contraction's
+    49 TFLOP/s utilization bound; K=576 doubles the bound."""
+    return _conv3x3_im2col(x.astype(jnp.bfloat16),
+                           w.astype(jnp.bfloat16), jnp.float32,
+                           interpret)
 
 
 def conv3x3_int8_reference(q_x: jax.Array, q_w: jax.Array) -> jax.Array:

@@ -31,6 +31,20 @@ def test_im2col_matches_xla_int8_conv(B, H, W, C, N):
     np.testing.assert_array_equal(got, want)
 
 
+def test_bf16_im2col_matches_xla_conv():
+    from sr.kernels.int8_conv import conv3x3_bf16_im2col
+
+    kx, kw = jax.random.split(jax.random.key(2))
+    x = jax.random.normal(kx, (2, 12, 16, 8), jnp.bfloat16)
+    w = jax.random.normal(kw, (3, 3, 8, 8), jnp.bfloat16) * 0.2
+    want = np.asarray(jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32))
+    got = np.asarray(conv3x3_bf16_im2col(x, w, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
 def test_im2col_saturating_inputs_exact():
     """Extremes: +/-127 everywhere — accumulator reaches 9*C*127*127
     (~5.9e6 at C=64), far inside int32; equality must hold exactly."""
