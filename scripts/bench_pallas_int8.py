@@ -112,6 +112,50 @@ def main() -> None:
             print(json.dumps({f"{pallas}_speedup": round(
                 results[ref] / results[pallas], 2)}), flush=True)
 
+    # phase 3: full-model static-int8 A/B (interceptor conv_backend)
+    from sr.models.registry import get_spec
+    from sr.quant import calibrate_scales, quantized_apply
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="EDSR", scale_factor=4, num_channels=3,
+                   dtype="bfloat16")
+    model = get_spec("EDSR").make_model(cfg)
+    xm = jax.random.uniform(jax.random.key(3), (B, HW, HW, 3),
+                            jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.key(4), xm[:1], train=False)
+    scales = calibrate_scales(model, variables, xm[:1], train=False)
+    mres = {}
+    for backend in ("xla", "pallas"):
+        def mbody(z, _, backend=backend):
+            y = quantized_apply(model, variables, z, scales=scales,
+                                conv_backend=backend, train=False)
+            s = (jnp.mean(y.astype(jnp.float32)) * 1e-9).astype(z.dtype)
+            return z + s, ()
+
+        @jax.jit
+        def mrun(z, mbody=mbody):
+            zK, _ = lax.scan(mbody, z, None, length=max(K // 10, 3))
+            return jnp.sum(zK.astype(jnp.float32))
+
+        try:
+            float(mrun(xm))
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                float(mrun(xm))
+                times.append(time.perf_counter() - t0)
+            dt = sorted(times)[len(times) // 2]
+            mres[backend] = dt
+            print(json.dumps({"model_variant": f"edsr_static_{backend}",
+                              "ms": round(dt * 1e3, 2)}), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"model_variant": backend,
+                              "error": str(e)[:300]}), flush=True)
+    if len(mres) == 2:
+        print(json.dumps({"model_pallas_speedup": round(
+            mres["xla"] / mres["pallas"], 2)}), flush=True)
+
 
 if __name__ == "__main__":
     main()

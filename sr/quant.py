@@ -195,12 +195,28 @@ def calibrate_scales_batches(model: nn.Module, variables: dict,
     return out
 
 
+def _pallas_3x3_eligible(m: nn.Conv, padding) -> bool:
+    """The Pallas im2col kernel covers exactly: 3x3, stride 1, SAME,
+    no groups (sr/kernels/int8_conv.py)."""
+    return (
+        _as_pair(m.kernel_size) == (3, 3)
+        and _as_pair(m.strides or 1) == (1, 1)
+        and m.feature_group_count == 1
+        and padding in ("SAME", ((1, 1), (1, 1)))
+    )
+
+
 def int8_conv(x: jax.Array, m: nn.Conv,
-              static_scale: float | None = None) -> jax.Array:
+              static_scale: float | None = None,
+              conv_backend: str = "xla") -> jax.Array:
     """Run a bound ``nn.Conv`` module's conv as s8 x s8 -> s32 with an
     f32 rescale; mirrors the module's geometry (strides/padding/groups)
     exactly. ``static_scale``: calibrated per-tensor activation scale
-    (constant-folded); None = dynamic per-sample scale."""
+    (constant-folded); None = dynamic per-sample scale.
+    ``conv_backend``: "xla" (default) or "pallas" — routes eligible
+    3x3/stride-1/SAME convs through the VMEM im2col kernel
+    (sr/kernels/int8_conv.py; others fall back to XLA). On the CPU
+    backend the Pallas path runs in interpret mode (test substrate)."""
     params = m.variables["params"]
     kernel = params["kernel"]
     q_w, s_w = quantize_kernel(kernel)
@@ -212,24 +228,32 @@ def int8_conv(x: jax.Array, m: nn.Conv,
     padding = _canonical_padding(m.padding)
     if padding is None:
         raise ValueError(f"unsupported padding for int8 conv: {m.padding!r}")
-    y = lax.conv_general_dilated(
-        q_x, q_w, window_strides=strides, padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=m.feature_group_count,
-        preferred_element_type=jnp.int32,
-    )
+    if conv_backend == "pallas" and _pallas_3x3_eligible(m, padding):
+        from sr.kernels.int8_conv import conv3x3_int8_im2col
+
+        y = conv3x3_int8_im2col(
+            q_x, q_w, interpret=jax.default_backend() == "cpu")
+    else:
+        y = lax.conv_general_dilated(
+            q_x, q_w, window_strides=strides, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=m.feature_group_count,
+            preferred_element_type=jnp.int32,
+        )
     y = y.astype(jnp.float32) * (s_x * s_w)
     if m.use_bias:
         y = y + params["bias"].astype(jnp.float32)
     return y.astype(x.dtype)
 
 
-def _make_interceptor(scales: dict[str, float] | None):
+def _make_interceptor(scales: dict[str, float] | None,
+                      conv_backend: str = "xla"):
     def interceptor(next_fun, args, kwargs, context):
         m = context.module
         if _eligible(m, args) and context.method_name == "__call__":
             s = scales.get(_site_key(m)) if scales is not None else None
-            return int8_conv(args[0], m, static_scale=s)
+            return int8_conv(args[0], m, static_scale=s,
+                             conv_backend=conv_backend)
         return next_fun(*args, **kwargs)
 
     return interceptor
@@ -237,13 +261,15 @@ def _make_interceptor(scales: dict[str, float] | None):
 
 def quantized_apply(model: nn.Module, variables: dict, x: jax.Array,
                     scales: dict[str, float] | None = None,
+                    conv_backend: str = "xla",
                     **apply_kwargs) -> Any:
     """``model.apply`` with every eligible ``nn.Conv`` running int8.
 
     ``scales``: per-site static activation scales from
     ``calibrate_scales``; sites absent from the dict use the dynamic
-    per-sample scale (None = fully dynamic)."""
-    with nn.intercept_methods(_make_interceptor(scales)):
+    per-sample scale (None = fully dynamic). ``conv_backend``: see
+    :func:`int8_conv`."""
+    with nn.intercept_methods(_make_interceptor(scales, conv_backend)):
         return model.apply(variables, x, **apply_kwargs)
 
 

@@ -45,6 +45,29 @@ def test_bf16_im2col_matches_xla_conv():
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
+def test_quantized_apply_pallas_backend_matches_xla():
+    """conv_backend='pallas' routes eligible 3x3 convs through the
+    im2col kernel (interpret mode on CPU) and produces the same
+    quantized forward as the XLA backend — same q_x/q_w, exact int32
+    accumulation, identical rescale."""
+    from sr.models.registry import get_spec
+    from sr.quant import calibrate_scales, quantized_apply
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="EDSR", scale_factor=2, num_channels=3,
+                   dtype="float32", num_resblocks=2, base_filter=8)
+    model = get_spec("EDSR").make_model(cfg)
+    x = jax.random.uniform(jax.random.key(1), (1, 10, 12, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    scales = calibrate_scales(model, variables, x, train=False)
+    y_xla = np.asarray(quantized_apply(
+        model, variables, x, scales=scales, train=False))
+    y_pl = np.asarray(quantized_apply(
+        model, variables, x, scales=scales, conv_backend="pallas",
+        train=False))
+    np.testing.assert_allclose(y_pl, y_xla, rtol=1e-6, atol=1e-6)
+
+
 def test_im2col_saturating_inputs_exact():
     """Extremes: +/-127 everywhere — accumulator reaches 9*C*127*127
     (~5.9e6 at C=64), far inside int32; equality must hold exactly."""
