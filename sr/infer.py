@@ -51,7 +51,16 @@ def make_serving_predict(model, variables, fused: bool,
                 return make_fused_tail_predict_quant(
                     model, variables, calib_headroom=calib_headroom)
             except (ValueError, KeyError):
-                pass  # non-affine tail: exact-graph static int8 below
+                # activation-bearing tails (SRResNet/SRGAN): int8 body
+                # + int8 phase-folded output conv instead
+                try:
+                    from sr.kernels.shuffle_fold import (
+                        make_folded_tail_predict_quant)
+
+                    return make_folded_tail_predict_quant(
+                        model, variables, calib_headroom=calib_headroom)
+                except (ValueError, KeyError, AssertionError):
+                    pass  # no PS tail: exact-graph static int8 below
         from sr.quant import make_quantized_predict
 
         return make_quantized_predict(model, variables, mode=mode,

@@ -40,6 +40,8 @@ act-then-d2s_conv.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 import jax
@@ -167,6 +169,114 @@ def make_folded_tail_predict(model, variables):
         a = maybe_act(conv(h, w, b, (k // 2, k // 2)), s)
         z = conv(a, wf_j, bf_j.astype(a.dtype), (pad, pad))
         return depth_to_space(z, r_last)
+
+    return predict
+
+
+def make_folded_tail_predict_quant(model, variables,
+                                   calib_headroom: float = 1.0):
+    """Static-int8 body + int8 stage convs + int8 PHASE-FOLDED output
+    conv: the fast int8 serving composite for activation-bearing PS
+    tails (SRResNet/SRGAN — reference srgan.py:Net — whose PReLU stages
+    make the affine collapse of sr/kernels/fused_tail.py inapplicable).
+
+    Function-exact to ``make_folded_tail_predict`` up to the int8 grid
+    (borders included — the fold itself is exact): body convs run via
+    ``sr.quant.quantized_apply`` with calibrated per-tensor scales, the
+    stage convs and the folded output conv run s8×s8→s32 by hand. The
+    folded conv's input is the PRE-shuffle activation — a permutation of
+    the exact graph's out-conv input — so the out-conv site's calibrated
+    scale transfers unchanged. Calibration happens lazily on the first
+    batch, like ``make_quantized_predict(mode="static")``.
+    """
+    from sr.quant import (calibrate_scales, quantize_activation,
+                          quantize_activation_static, quantize_kernel,
+                          quantized_apply)
+
+    p = variables["params"]
+    f = model.base_filter
+    n_stages = len([k for k in p if k.startswith("upsample_")])
+    if n_stages == 0:
+        raise ValueError("model has no pixel-shuffle stages to fold")
+    stages = []
+    for i in range(n_stages):
+        blk = p[f"upsample_{i}"]
+        slope = None
+        na = blk.get("_NormAct_0")
+        if na is not None and "PReLU_0" in na:
+            slope = jnp.asarray(na["PReLU_0"]["slope"], jnp.float32)
+        kern = jnp.asarray(blk["Conv_0"]["kernel"], jnp.float32)
+        r2 = kern.shape[-1] // f
+        r = int(round(r2 ** 0.5))
+        assert r * r * f == kern.shape[-1], (kern.shape, f)
+        q_w, s_w = quantize_kernel(kern)
+        stages.append((q_w, s_w,
+                       jnp.asarray(blk["Conv_0"]["bias"], jnp.float32),
+                       slope, r, f"upsample_{i}/Conv_0"))
+    r_last = stages[-1][4]
+    oc, oc_site = p["out_conv"], "out_conv"
+    if "kernel" not in oc:  # ConvBlock wrapping (EDSR) vs bare nn.Conv
+        oc, oc_site = oc["Conv_0"], "out_conv/Conv_0"
+    wf, dmin = fold_shuffle_conv_kernel(
+        np.asarray(oc["kernel"], np.float32), r_last)
+    t = wf.shape[0]
+    pad_lo, pad_hi = -dmin, t - 1 + dmin
+    q_wf, s_wf = quantize_kernel(jnp.asarray(wf))
+    bf_j = jnp.asarray(fold_bias(np.asarray(oc["bias"], np.float32),
+                                 r_last), jnp.float32)
+
+    def int8_conv_static(x, q_w, s_w, bias, s_x, padding):
+        if s_x is None:  # site missed by calibration: per-sample scale
+            q_x, s_xj = quantize_activation(x)
+        else:
+            q_x, s_xj = quantize_activation_static(x, s_x)
+        y = jax.lax.conv_general_dilated(
+            q_x, q_w, (1, 1), (padding, padding),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * (s_xj * s_w) + bias
+        return y.astype(x.dtype)
+
+    def maybe_act(x, slope):
+        if slope is None:
+            return x
+        s = slope.astype(x.dtype)
+        return jnp.where(x >= 0, x, x * s)
+
+    state: dict = {}
+    lock = threading.Lock()  # sr.serve serves from handler threads
+
+    def _build(x):
+        scales = calibrate_scales(model, variables, x,
+                                  headroom=calib_headroom, train=False)
+
+        @jax.jit
+        def fn(x):
+            h = quantized_apply(model, variables, x, scales=scales,
+                                train=False, method="body")
+            for q_w, s_w, b, slope, r, site in stages[:-1]:
+                k = q_w.shape[0]
+                h = maybe_act(depth_to_space(int8_conv_static(
+                    h, q_w, s_w, b, scales.get(site), (k // 2, k // 2)), r),
+                    slope)
+            q_w, s_w, b, slope, _, site = stages[-1]
+            k = q_w.shape[0]
+            # last stage stays PRE-shuffle (PReLU commutes with d2s);
+            # the output conv is folded through the shuffle
+            a = maybe_act(int8_conv_static(
+                h, q_w, s_w, b, scales.get(site), (k // 2, k // 2)), slope)
+            z = int8_conv_static(a, q_wf, s_wf, bf_j,
+                                 scales.get(oc_site), (pad_lo, pad_hi))
+            return depth_to_space(z, r_last)
+
+        return fn
+
+    def predict(x):
+        if "fn" not in state:
+            with lock:
+                if "fn" not in state:
+                    state["fn"] = _build(x)
+        return state["fn"](x)
 
     return predict
 

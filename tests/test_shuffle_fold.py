@@ -110,3 +110,69 @@ def test_folded_kernel_flop_accounting():
         assert dmin == (0 - p) // r
         assert wf.shape[0] == (r - 1 + k - 1 - p) // r - dmin + 1
         assert wf.shape[2] == r * r and wf.shape[3] == r * r
+
+
+def test_folded_tail_predict_quant_close_and_matches_static():
+    """int8-static + phase-folded composite: close to the exact f32
+    graph (borders INCLUDED — the fold is exact, only the int8 grid
+    differs) and consistent with the exact-graph static-int8 path."""
+    from sr.kernels.shuffle_fold import (
+        make_folded_tail_predict,
+        make_folded_tail_predict_quant,
+    )
+    from sr.models.registry import get_spec
+    from sr.quant import make_quantized_predict
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="SRResNet", num_channels=3, scale_factor=4,
+                   num_resblocks=2, dtype="float32")
+    model = get_spec("SRResNet").make_model(cfg)
+    x = jax.random.uniform(jax.random.key(0), (2, 12, 12, 3))
+    variables = model.init(jax.random.key(1), x, train=False)
+
+    ref = np.asarray(make_folded_tail_predict(model, variables)(x))
+    got = np.asarray(make_folded_tail_predict_quant(model, variables)(x))
+    assert got.shape == ref.shape
+    rng_ = max(ref.max() - ref.min(), 1e-3)
+    assert np.abs(got - ref).max() / rng_ <= 0.05
+
+    # the exact-graph static-int8 path quantizes the same sites with the
+    # same calibrated scales — the two int8 programs must agree tightly
+    # (only the out-conv's weight-quantization grid differs: per-channel
+    # over 3 vs 3·r² output channels)
+    static = np.asarray(
+        make_quantized_predict(model, variables, mode="static")(x))
+    assert np.abs(got - static).max() / rng_ <= 0.02
+
+
+def test_folded_tail_predict_quant_edsr_and_routing():
+    """EDSR works through the folded-quant composite too, and
+    make_serving_predict routes SRResNet static+fused to it (not to the
+    exact graph)."""
+    from sr.infer import make_serving_predict
+    from sr.kernels.shuffle_fold import make_folded_tail_predict_quant
+    from sr.models.registry import get_spec
+    from sr.utils.config import SRConfig
+
+    cfg = SRConfig(model_name="EDSR", num_channels=3, scale_factor=2,
+                   num_resblocks=2, dtype="float32")
+    model = get_spec("EDSR").make_model(cfg)
+    x = jax.random.uniform(jax.random.key(0), (1, 12, 12, 3))
+    variables = model.init(jax.random.key(1), x, train=False)
+    ref = np.asarray(
+        jax.jit(lambda v, a: model.apply(v, a, train=False))(variables, x))
+    got = np.asarray(make_folded_tail_predict_quant(model, variables)(x))
+    rng_ = max(ref.max() - ref.min(), 1e-3)
+    assert np.abs(got - ref).max() / rng_ <= 0.05
+
+    cfg = SRConfig(model_name="SRResNet", num_channels=3, scale_factor=2,
+                   num_resblocks=2, dtype="float32")
+    model = get_spec("SRResNet").make_model(cfg)
+    variables = model.init(jax.random.key(1), x, train=False)
+    served = np.asarray(
+        make_serving_predict(model, variables, fused=True,
+                             quantize="static")(x))
+    composite = np.asarray(
+        make_folded_tail_predict_quant(model, variables)(x))
+    # bit-identical: the serving router must have picked the composite
+    np.testing.assert_array_equal(served, composite)
