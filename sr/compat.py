@@ -147,11 +147,18 @@ class ModelWrapper:
         return path
 
     def load_model(self) -> bool:
-        """(reference: wrapper.load_model → bool)"""
+        """(reference: wrapper.load_model → bool)
+
+        Looks for this framework's ``<Model>_params.npz`` first, then for
+        a reference-style ``<Model>_param.pkl`` (``torch.save(state_dict)``
+        — reference: wrapper.save_model) and imports it weight-for-weight
+        (sr/utils/torch_interop.py:import_state_dict), so checkpoints
+        trained with the reference collection load directly.
+        """
         path = self._params_path()
-        if not os.path.exists(path):
+        pkl = os.path.join(self._run_dir(), f"{self.MODEL_NAME}_param.pkl")
+        if not os.path.exists(path) and not os.path.exists(pkl):
             return False
-        params, bs = load_params(path)
         rng = jax.random.key(self.cfg.seed)
         size = self.cfg.crop_size
         if not self.spec.pre_upsample:
@@ -159,6 +166,17 @@ class ModelWrapper:
         x = np.zeros((1, max(size, 8), max(size, 8), self.cfg.num_channels),
                      np.float32)
         state = self.trainer.init_state(rng, x)
+        if os.path.exists(path):
+            params, bs = load_params(path)
+        else:
+            from sr.utils.torch_interop import load_reference_checkpoint
+
+            variables = {"params": state.params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            new = load_reference_checkpoint(
+                self.MODEL_NAME, self.trainer.model, variables, pkl)
+            params, bs = new["params"], new.get("batch_stats")
         self.state = state.replace(params=params, batch_stats=bs)
         return True
 

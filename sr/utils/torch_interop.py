@@ -1,10 +1,23 @@
-"""Flax → PyTorch weight transplantation.
+"""Flax ↔ PyTorch weight transplantation.
 
-Used by the cross-framework topology-parity suite
-(tests/test_torch_parity.py) to prove each Flax model computes the SAME
-function as a PyTorch replica of the reference net (reference: each model
-file's ``Net`` — srcnn.py:Net … lapsrn.py:Net), and usable standalone to
-export trained checkpoints to torch for downstream consumers.
+Two directions:
+
+* ``transplant`` (flax → torch): used by the cross-framework
+  topology-parity suite (tests/test_torch_parity.py) to prove each Flax
+  model computes the SAME function as a PyTorch replica of the reference
+  net (reference: each model file's ``Net`` — srcnn.py:Net …
+  lapsrn.py:Net), and usable standalone to export trained checkpoints to
+  torch for downstream consumers.
+* ``import_state_dict`` (torch → flax): loads a reference-style
+  checkpoint (``torch.save(model.state_dict())`` — reference: each
+  wrapper's ``save_model`` → ``<Model>_param.pkl``) into Flax variables,
+  so users migrating from the reference keep their trained weights.
+  ``reference_plan`` builds the per-model atom plan from the Flax model's
+  own topology fields. Plans pair atoms POSITIONALLY with the state_dict's
+  registration order (key names are never matched — the reference's
+  attribute names are unverifiable while the mount is empty, SURVEY §0);
+  if a real reference checkpoint ever disagrees on registration order,
+  the fix is a one-line plan reorder.
 
 Conventions (see sr/nn/blocks.py padding note):
 
@@ -116,6 +129,213 @@ def transplant(
             cp(tmod.weight, np.asarray(node["slope"]).reshape(1))
         else:
             raise ValueError(f"unknown atom kind {kind!r}")
+
+
+def group_state_dict(state_dict) -> list[tuple[str, dict]]:
+    """Group a torch ``state_dict`` into per-module atoms, preserving the
+    registration order dicts carry. Returns ``[(prefix, {field: array})]``
+    with ``num_batches_tracked`` buffers dropped; a bare ``nn.Parameter``
+    (no dot in its key) becomes a single-field group (field ``""``)."""
+    groups: dict[str, dict] = {}
+    order: list[str] = []
+    for k, v in state_dict.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        prefix, _, field = k.rpartition(".")
+        if prefix == "":
+            prefix, field = k, ""
+        if prefix not in groups:
+            groups[prefix] = {}
+            order.append(prefix)
+        arr = v.detach().cpu().numpy() if hasattr(v, "detach") else v
+        groups[prefix][field] = np.asarray(arr, np.float32)
+    return [(p, groups[p]) for p in order]
+
+
+def import_state_dict(state_dict, plan: Sequence[tuple],
+                      variables: dict) -> dict:
+    """Torch ``state_dict`` → new Flax ``variables`` (inverse of
+    ``transplant``).
+
+    ``plan``: ordered atoms as for ``transplant`` (build with
+    ``reference_plan``); the extra kind ``"tensor"`` maps a bare
+    ``nn.Parameter`` (e.g. DRCN's recursion weights) to a params path.
+    ``variables``: a freshly-initialized ``{"params": …[, "batch_stats"]}``
+    giving the target tree structure; returned unchanged in shape with
+    every plan-covered leaf replaced. A conv/deconv atom whose checkpoint
+    group has no bias zeroes the Flax bias (torch ``bias=False`` layers).
+    """
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    groups = group_state_dict(state_dict)
+    if len(groups) != len(plan):
+        raise ValueError(
+            f"checkpoint has {len(groups)} atoms "
+            f"({[p for p, _ in groups[:6]]}…), plan expects {len(plan)}")
+
+    params = dict(flatten_dict(variables["params"]))
+    stats = dict(flatten_dict(variables["batch_stats"])) \
+        if variables.get("batch_stats") is not None else None
+
+    def put(tree: dict, path: str, leaf: str | None, value: np.ndarray,
+            prefix: str) -> None:
+        key = tuple(path.split("/")) + ((leaf,) if leaf else ())
+        if key not in tree:
+            raise KeyError(f"{'/'.join(key)} not in target variables "
+                           f"(checkpoint atom {prefix!r})")
+        want = np.shape(tree[key])
+        if value.size != int(np.prod(want, dtype=np.int64)):
+            raise ValueError(f"{'/'.join(key)}: checkpoint shape "
+                             f"{value.shape} vs target {want}")
+        # np.array, not ascontiguousarray: the latter promotes 0-d
+        # leaves (scalar PReLU slopes) to shape (1,)
+        tree[key] = np.array(value.reshape(want), np.float32, order="C")
+
+    def maybe_bias(path: str, g: dict, prefix: str) -> None:
+        key = tuple(path.split("/")) + ("bias",)
+        if "bias" in g:
+            put(params, path, "bias", g["bias"], prefix)
+        elif key in params:  # torch bias=False: neutralize the flax bias
+            params[key] = np.zeros_like(np.asarray(params[key]))
+
+    for entry, (prefix, g) in zip(plan, groups):
+        path, kind = entry[0], entry[1]
+        if kind == "conv":
+            put(params, path, "kernel",
+                np.transpose(g["weight"], (2, 3, 1, 0)), prefix)
+            maybe_bias(path, g, prefix)
+        elif kind == "deconv":
+            k = np.transpose(g["weight"], (2, 3, 0, 1))[::-1, ::-1]
+            put(params, path, "kernel", k, prefix)
+            maybe_bias(path, g, prefix)
+        elif kind == "bn":
+            put(params, path, "scale", g["weight"], prefix)
+            put(params, path, "bias", g["bias"], prefix)
+            assert stats is not None, f"bn atom {path} needs batch_stats"
+            put(stats, path, "mean", g["running_mean"], prefix)
+            put(stats, path, "var", g["running_var"], prefix)
+        elif kind == "dense":
+            put(params, path, "kernel", np.transpose(g["weight"]), prefix)
+            put(params, path, "bias", g["bias"], prefix)
+        elif kind == "dense_nhwc":
+            h, w, c = entry[2]
+            out = g["weight"].shape[0]
+            kern = np.transpose(g["weight"]).reshape(c, h, w, out)
+            kern = kern.transpose(1, 2, 0, 3).reshape(h * w * c, out)
+            put(params, path, "kernel", kern, prefix)
+            put(params, path, "bias", g["bias"], prefix)
+        elif kind == "prelu":
+            put(params, path, "slope", g["weight"], prefix)
+        elif kind == "tensor":
+            (value,) = g.values()
+            put(params, path, None, value, prefix)
+        else:
+            raise ValueError(f"unknown atom kind {kind!r}")
+
+    out = {"params": unflatten_dict(params)}
+    if stats is not None:
+        out["batch_stats"] = unflatten_dict(stats)
+    return out
+
+
+def reference_plan(model_name: str, model) -> list[tuple]:
+    """Atom plan for a reference ``<Model>_param.pkl`` checkpoint, derived
+    from the Flax model's own topology fields (depths/scale read off
+    ``model``, so non-default configs plan correctly). Atom order follows
+    the reference ``Net`` module registration order as reconstructed in
+    tests/torch_refnets.py (SURVEY §2.2); see the module docstring for
+    the order caveat."""
+    import math
+
+    n = model_name.lower()
+    if n == "srcnn":
+        return [e for i in range(3) for e in convblock_plan(f"ConvBlock_{i}")]
+    if n == "vdsr":
+        return [e for i in range(model.num_layers)
+                for e in convblock_plan(f"ConvBlock_{i}")]
+    if n == "drcn":
+        # torch state_dict emits a module's OWN parameters before its
+        # children, so the bare recursion-weights Parameter comes first
+        return (
+            [("recursion_weights", "tensor")]
+            + convblock_plan("ConvBlock_0") + convblock_plan("ConvBlock_1")
+            + [("Scan_RecBlock_0/Conv_0", "conv")]
+            + convblock_plan("Scan_RecBlock_0/ConvBlock_0")
+            + [("Scan_RecBlock_0/Conv_1", "conv")]
+        )
+    if n == "espcn":
+        return (convblock_plan("ConvBlock_0") + convblock_plan("ConvBlock_1")
+                + [("Conv_0", "conv")])
+    if n == "fsrcnn":
+        return [e for i in range(model.m + 3)
+                for e in convblock_plan(f"ConvBlock_{i}", act="prelu")
+                ] + deconvblock_plan("DeconvBlock_0")
+    if n == "edsr":
+        n_up = {2: 1, 3: 1, 4: 2, 8: 3}[model.scale_factor]
+        plan = [("head/Conv_0", "conv")]
+        for i in range(model.num_resblocks):
+            plan += [(f"blocks_{i}/Conv_0", "conv"),
+                     (f"blocks_{i}/Conv_1", "conv")]
+        plan += [("body_conv/Conv_0", "conv")]
+        plan += [(f"upsample_{i}/Conv_0", "conv") for i in range(n_up)]
+        return plan + [("out_conv/Conv_0", "conv")]
+    if n in ("srresnet", "srgan"):
+        plan = [("head", "conv"), ("head_act", "prelu")]
+        for i in range(model.num_resblocks):
+            p = f"blocks_{i}"
+            plan += [
+                (f"{p}/Conv_0", "conv"),
+                (f"{p}/_NormAct_0/BatchNorm_0", "bn"),
+                (f"{p}/_NormAct_0/PReLU_0", "prelu"),
+                (f"{p}/Conv_1", "conv"),
+                (f"{p}/BatchNorm_0", "bn"),
+            ]
+        plan += [("body_conv", "conv"), ("body_bn", "bn")]
+        for i in range(int(math.log2(model.scale_factor))):
+            plan += convblock_plan(f"upsample_{i}", act="prelu")
+        return plan + [("out_conv", "conv")]
+    if n == "lapsrn":
+        levels = int(math.log2(model.scale_factor))
+        d = model.num_convs
+        # flax call-order numbering (sr/models/lapsrn.py): feat_in=CB_0;
+        # level L: branch convs CB_{L(d+1)+1..+d} + branch deconv DB_{2L},
+        # res conv CB_{L(d+1)+d+1}, img deconv DB_{2L+1}. Torch
+        # registration: feat_in, all branches, all res convs, all deconvs.
+        plan = convblock_plan("ConvBlock_0")
+        for lv in range(levels):
+            base = lv * (d + 1)
+            for j in range(1, d + 1):
+                plan += convblock_plan(f"ConvBlock_{base + j}")
+            plan += deconvblock_plan(f"DeconvBlock_{2 * lv}")
+        for lv in range(levels):
+            plan += convblock_plan(f"ConvBlock_{lv * (d + 1) + d + 1}")
+        for lv in range(levels):
+            plan += deconvblock_plan(f"DeconvBlock_{2 * lv + 1}")
+        return plan
+    raise ValueError(f"no reference plan for model {model_name!r}")
+
+
+def discriminator_plan(hr_size: int, base_filter: int = 64) -> list[tuple]:
+    """Atom plan for the SRGAN discriminator (reference:
+    srgan.py:Discriminator) at a given training HR crop size."""
+    plan = convblock_plan("ConvBlock_0")
+    for i in range(1, 8):
+        plan += convblock_plan(f"ConvBlock_{i}", norm="batch")
+    sp = hr_size // 16
+    return plan + [("Dense_0", "dense_nhwc", (sp, sp, base_filter * 8)),
+                   ("Dense_1", "dense")]
+
+
+def load_reference_checkpoint(model_name: str, model, variables: dict,
+                              path: str) -> dict:
+    """Load a reference-style ``torch.save(state_dict)`` checkpoint
+    (``<Model>_param.pkl`` — reference: each wrapper's save_model) into
+    Flax variables. Returns new variables; see ``import_state_dict``."""
+    import torch
+
+    state_dict = torch.load(path, map_location="cpu", weights_only=True)
+    return import_state_dict(state_dict, reference_plan(model_name, model),
+                             variables)
 
 
 def convblock_plan(path: str, act: str | None = None, norm: str | None = None):
