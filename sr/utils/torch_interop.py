@@ -243,7 +243,7 @@ def reference_plan(model_name: str, model) -> list[tuple]:
     from the Flax model's own topology fields (depths/scale read off
     ``model``, so non-default configs plan correctly). Atom order follows
     the reference ``Net`` module registration order as reconstructed in
-    tests/torch_refnets.py (SURVEY §2.2); see the module docstring for
+    sr/utils/torch_refnets.py (SURVEY §2.2); see the module docstring for
     the order caveat."""
     import math
 
@@ -336,6 +336,59 @@ def load_reference_checkpoint(model_name: str, model, variables: dict,
     state_dict = torch.load(path, map_location="cpu", weights_only=True)
     return import_state_dict(state_dict, reference_plan(model_name, model),
                              variables)
+
+
+def make_reference_net(model_name: str, model):
+    """Instantiate the PyTorch replica (sr/utils/torch_refnets.py) whose
+    topology matches the given Flax model — the target for
+    ``export_reference_checkpoint`` and the oracle for the parity suite."""
+    from sr.utils import torch_refnets as tref
+
+    n = model_name.lower()
+    c, f = model.num_channels, getattr(model, "base_filter", 64)
+    if n == "srcnn":
+        return tref.TorchSRCNN(c, f)
+    if n == "vdsr":
+        return tref.TorchVDSR(c, f, layers=model.num_layers)
+    if n == "drcn":
+        return tref.TorchDRCN(c, f, depth=model.num_recursions)
+    if n == "espcn":
+        return tref.TorchESPCN(c, f, r=model.scale_factor)
+    if n == "fsrcnn":
+        return tref.TorchFSRCNN(c, d=model.d, s=model.s, m=model.m,
+                                r=model.scale_factor)
+    if n == "edsr":
+        return tref.TorchEDSR(c, f, blocks=model.num_resblocks,
+                              r=model.scale_factor,
+                              res_scale=model.res_scale)
+    if n in ("srresnet", "srgan"):
+        return tref.TorchSRResNet(c, f, blocks=model.num_resblocks,
+                                  r=model.scale_factor)
+    if n == "lapsrn":
+        return tref.TorchLapSRN(c, f, d=model.num_convs,
+                                r=model.scale_factor)
+    raise ValueError(f"no torch replica for model {model_name!r}")
+
+
+def export_reference_checkpoint(model_name: str, model, variables: dict,
+                                path: str) -> str:
+    """Write trained Flax weights as a reference-style
+    ``torch.save(state_dict)`` checkpoint (``<Model>_param.pkl``), so
+    models trained here load in the reference collection (the inverse
+    migration of ``load_reference_checkpoint``). Returns ``path``."""
+    import torch
+
+    tnet = make_reference_net(model_name, model)
+    plan = reference_plan(model_name, model)
+    params = variables["params"]
+    if model_name.lower() == "drcn":  # bare Parameter: plan[0]
+        with torch.no_grad():
+            tnet.w.copy_(torch.from_numpy(np.array(
+                params["recursion_weights"], np.float32)))
+        plan = plan[1:]
+    transplant(params, variables.get("batch_stats"), plan, tnet)
+    torch.save(tnet.state_dict(), path)
+    return path
 
 
 def convblock_plan(path: str, act: str | None = None, norm: str | None = None):

@@ -34,7 +34,7 @@ from sr.utils.torch_interop import (
     transplant,
 )
 
-import torch_refnets as tref
+from sr.utils import torch_refnets as tref
 from test_torch_parity import (
     _flax_forward,
     _randomize,
@@ -167,3 +167,26 @@ def test_compat_loads_reference_pkl(tmp_path):
     np.testing.assert_allclose(ours, _torch_forward(tnet, x),
                                atol=1e-4, rtol=1e-4)
     os.path.exists(str(run_dir))  # tmp cleanup sanity
+
+
+@pytest.mark.parametrize("name,ch,cfg_kw,make_torch",
+                         CASES, ids=[c[0] for c in CASES])
+def test_export_reference_checkpoint_roundtrip(tmp_path, name, ch, cfg_kw,
+                                               make_torch):
+    """export_reference_checkpoint → load_reference_checkpoint reproduces
+    the trained weights exactly (and make_reference_net's topology map
+    must agree with reference_plan's atom count for every model)."""
+    del make_torch
+    from sr.utils.torch_interop import (
+        export_reference_checkpoint,
+        load_reference_checkpoint,
+    )
+
+    model, v, _ = _setup(name, ch, seed=21, **cfg_kw)
+    path = str(tmp_path / f"{name}_param.pkl")
+    export_reference_checkpoint(name, model, v, path)
+    fresh = _setup(name, ch, seed=77, **cfg_kw)[1]
+    got = load_reference_checkpoint(name, model, fresh, path)
+    _trees_close(got["params"], v["params"])
+    if "batch_stats" in v:
+        _trees_close(got["batch_stats"], v["batch_stats"])

@@ -2,7 +2,7 @@
 
 The strongest parity evidence this environment can produce (VERDICT r1
 item 2): build the reference ``Net`` topologies in PyTorch
-(tests/torch_refnets.py), transplant the Flax weights
+(sr/utils/torch_refnets.py), transplant the Flax weights
 (sr/utils/torch_interop.py), and assert forward equality. A silent
 divergence in padding geometry, PReLU sharing, BN semantics, pixel-shuffle
 channel order, or deconv geometry fails these tests.
@@ -26,7 +26,7 @@ from sr.utils.torch_interop import (
     transplant,
 )
 
-import torch_refnets as tref
+from sr.utils import torch_refnets as tref
 
 
 def _randomize(variables: dict, seed: int) -> dict:
