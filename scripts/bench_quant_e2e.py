@@ -80,6 +80,21 @@ def main() -> None:
                 print("[qe2e] quant-fused calibrated", file=sys.stderr)
         except (ValueError, KeyError) as e:
             print(f"[qe2e] no fused tail: {e}", file=sys.stderr)
+        try:
+            from sr.kernels.shuffle_fold import (
+                make_folded_tail_predict, make_folded_tail_predict_quant)
+
+            if want("bf16_folded"):
+                fns["bf16_folded"] = make_folded_tail_predict(
+                    model, variables)
+            if want("int8_static_folded"):
+                quant_folded = make_folded_tail_predict_quant(
+                    model, variables)
+                quant_folded(x)  # eager warm runs the lazy calibration
+                fns["int8_static_folded"] = quant_folded
+                print("[qe2e] quant-folded calibrated", file=sys.stderr)
+        except (ValueError, KeyError, AssertionError) as e:
+            print(f"[qe2e] no folded tail: {e}", file=sys.stderr)
 
     out_mp = B * (lr * cfg.scale_factor) ** 2 / 1e6
     results = {}

@@ -78,6 +78,10 @@ def parse_args(argv=None) -> SRConfig:
     p.add_argument("--export", action="store_true",
                    help="after train/eval, write an AOT StableHLO serving "
                         "artifact (<run_dir>/<Model>_x<r>.hloart — sr/export.py)")
+    p.add_argument("--export_torch", action="store_true",
+                   help="after train/eval, also write a reference-format "
+                        "torch checkpoint (<run_dir>/<Model>_param.pkl — "
+                        "sr/utils/torch_interop.py)")
     a = p.parse_args(argv)
 
     spec = get_spec(a.model_name)
@@ -102,7 +106,8 @@ def parse_args(argv=None) -> SRConfig:
         random_scale_mode=a.random_scale_mode,
         vdsr_clip_theta=a.vdsr_clip_theta,
     )
-    return check_args(cfg), (a.eval_only, a.fast_eval, a.export)
+    return check_args(cfg), (a.eval_only, a.fast_eval, a.export,
+                             a.export_torch)
 
 
 def check_args(cfg: SRConfig) -> SRConfig:
@@ -190,7 +195,7 @@ def main(argv=None) -> int:
         print(f"[multihost] process {_jax.process_index()}/"
               f"{_jax.process_count()}")
 
-    cfg, (eval_only, fast_eval, export) = parse_args(argv)
+    cfg, (eval_only, fast_eval, export, export_torch) = parse_args(argv)
     spec = get_spec(cfg.model_name)
     run_dir = _run_dir(cfg)
     jsonl = JSONLLogger(os.path.join(run_dir, "metrics.jsonl"))
@@ -294,6 +299,15 @@ def main(argv=None) -> int:
     jsonl({"event": "eval", **summary})
     if export:
         print(f"[export] {export_artifact(cfg, spec, run_dir)}")
+    if export_torch:
+        from sr.utils.torch_interop import export_reference_checkpoint
+
+        variables = {"params": final_params[0]}
+        if final_params[1] is not None:
+            variables["batch_stats"] = final_params[1]
+        pkl = os.path.join(run_dir, f"{cfg.model_name}_param.pkl")
+        print("[export_torch] " + export_reference_checkpoint(
+            cfg.model_name, spec.make_model(cfg), variables, pkl))
     jsonl.close()
     ck.close()
     return 0
