@@ -35,7 +35,8 @@ def _build_predict(model_name: str, params_path: str, scale_factor: int,
                    num_channels: int | None, dtype: str, fused: bool,
                    cfg_overrides: dict | None = None,
                    quantize: bool | str = False,
-                   calib_headroom: float = 1.0):
+                   calib_headroom: float = 1.0,
+                   output_u8: bool = False):
     from sr.models.registry import get_spec
     from sr.utils.checkpoint import load_params
     from sr.utils.config import SRConfig
@@ -54,7 +55,8 @@ def _build_predict(model_name: str, params_path: str, scale_factor: int,
     from sr.infer import make_serving_predict
 
     return (make_serving_predict(model, variables, fused, quantize,
-                                 calib_headroom=calib_headroom),
+                                 calib_headroom=calib_headroom,
+                                 output_u8=output_u8),
             channels)
 
 
@@ -71,6 +73,7 @@ def export_predict(
     cfg_overrides: dict | None = None,
     quantize: bool | str = False,
     calib_input=None,
+    output_u8: bool = False,
 ):
     """Lower a trained model's predict fn to a serializable Exported.
 
@@ -94,7 +97,8 @@ def export_predict(
     predict, channels = _build_predict(
         model_name, params_path, scale_factor, num_channels, dtype, fused,
         cfg_overrides, quantize,
-        calib_headroom=1.0 if calib_input is not None else 1.25)
+        calib_headroom=1.0 if calib_input is not None else 1.25,
+        output_u8=output_u8)
     h, w = (lr_size, lr_size) if isinstance(lr_size, int) else lr_size
     if quantize == "static":
         # the lazy predict calibrates on its first (concrete) batch —
@@ -141,6 +145,7 @@ def export_bundle(
     cfg_overrides: dict | None = None,
     quantize: bool | str = False,
     calib_input=None,
+    output_u8: bool = False,
 ):
     """Export one artifact per input size plus embedded metadata.
 
@@ -155,7 +160,8 @@ def export_bundle(
     predict, channels = _build_predict(
         model_name, params_path, scale_factor, num_channels, dtype, fused,
         cfg_overrides, quantize,
-        calib_headroom=1.0 if calib_input is not None else 1.25)
+        calib_headroom=1.0 if calib_input is not None else 1.25,
+        output_u8=output_u8)
     exports, buckets = [], []
     for size in sorted(set(lr_sizes)):
         h, w = (size, size) if isinstance(size, int) else size
@@ -183,6 +189,7 @@ def export_bundle(
         "net_scale": net_scale,
         "dtype": dtype,
         "fused": fused,
+        "output_u8": output_u8,
         "buckets": buckets,
     }
     return meta, exports
@@ -294,6 +301,11 @@ def main(argv: list[str] | None = None) -> None:
                         "artifact (~4x smaller weights, ~0.007 dB). "
                         "'static' bakes calibrated activation scales in "
                         "— the fast int8 mode (bare flag = dynamic)")
+    p.add_argument("--output_u8", action="store_true",
+                   help="quantize the output to uint8 inside the "
+                        "artifact (bit-equal to the host conversion, "
+                        "1/4 the device-to-host bytes; the server "
+                        "detects it from the output dtype)")
     p.add_argument("--calib_image", default=None,
                    help="representative image file for --quantize "
                         "static calibration (resized/cropped to the "
@@ -324,7 +336,7 @@ def main(argv: list[str] | None = None) -> None:
             a.model_name, a.params, a.scale_factor, a.num_channels, a.dtype,
             a.fused, lr_sizes=tuple(a.lr_size), platforms=platforms,
             cfg_overrides=overrides or None, quantize=a.quantize,
-            calib_input=calib,
+            calib_input=calib, output_u8=a.output_u8,
         )
         save_bundle(a.out, meta, exports)
         print(f"exported {a.model_name} bundle -> {a.out} "
@@ -335,7 +347,7 @@ def main(argv: list[str] | None = None) -> None:
         a.fused, a.lr_size[0],
         platforms=platforms,
         cfg_overrides=overrides or None, quantize=a.quantize,
-        calib_input=calib,
+        calib_input=calib, output_u8=a.output_u8,
     )
     save_artifact(a.out, exp)
     in_shape = exp.in_avals[0].shape

@@ -26,7 +26,8 @@ from sr.utils.config import SRConfig
 
 def make_serving_predict(model, variables, fused: bool,
                          quantize: bool | str = False,
-                         calib_headroom: float = 1.0):
+                         calib_headroom: float = 1.0,
+                         output_u8: bool = False):
     """ONE place for the serving-variant policy, shared by sr.infer and
     sr.export: ``fused`` picks the collapsed affine tail where the tail
     is affine (EDSR), else the exact phase-folded tail (SRResNet/SRGAN);
@@ -36,7 +37,9 @@ def make_serving_predict(model, variables, fused: bool,
     (footprint lever; tail rewrites assume float conv algebra);
     ``"static"`` uses scales calibrated on the first batch and, with
     ``fused``, composes with the collapsed affine tail — the fastest
-    serving path (PERF.md round-3 int8-static entry)."""
+    serving path (PERF.md round-3 int8-static entry). ``output_u8``
+    quantizes the output to uint8 INSIDE the program (sr.quant.to_u8 —
+    bit-equal to the host conversion, ¼ the device→host bytes)."""
     if quantize:
         if quantize not in (True, "dynamic", "static"):
             raise ValueError(
@@ -49,7 +52,8 @@ def make_serving_predict(model, variables, fused: bool,
                     make_fused_tail_predict_quant)
 
                 return make_fused_tail_predict_quant(
-                    model, variables, calib_headroom=calib_headroom)
+                    model, variables, calib_headroom=calib_headroom,
+                    output_u8=output_u8)
             except (ValueError, KeyError):
                 # activation-bearing tails (SRResNet/SRGAN): int8 body
                 # + int8 phase-folded output conv instead
@@ -58,32 +62,43 @@ def make_serving_predict(model, variables, fused: bool,
                         make_folded_tail_predict_quant)
 
                     return make_folded_tail_predict_quant(
-                        model, variables, calib_headroom=calib_headroom)
+                        model, variables, calib_headroom=calib_headroom,
+                        output_u8=output_u8)
                 except (ValueError, KeyError, AssertionError):
                     pass  # no PS tail: exact-graph static int8 below
         from sr.quant import make_quantized_predict
 
         return make_quantized_predict(model, variables, mode=mode,
-                                      calib_headroom=calib_headroom)
+                                      calib_headroom=calib_headroom,
+                                      output_u8=output_u8)
+    if output_u8:
+        from sr.quant import to_u8 as _post
+    else:
+        def _post(y):
+            return y
     if fused and hasattr(model, "tail"):
         try:
             # affine tails (EDSR) collapse to one conv (interior-exact)
             from sr.kernels.fused_tail import make_fused_tail_predict
 
-            return make_fused_tail_predict(model, variables)
+            fn = make_fused_tail_predict(model, variables)
         except (ValueError, KeyError):
             # activation-bearing tails (SRResNet/SRGAN): fold the output
             # conv through the last shuffle instead — fully exact
             from sr.kernels.shuffle_fold import make_folded_tail_predict
 
-            return make_folded_tail_predict(model, variables)
-    return jax.jit(lambda x: model.apply(variables, x, train=False))
+            fn = make_folded_tail_predict(model, variables)
+        # tracing through the inner jitted fn inlines it: ONE program
+        return jax.jit(lambda x: _post(fn(x))) if output_u8 else fn
+    return jax.jit(
+        lambda x: _post(model.apply(variables, x, train=False)))
 
 
 @functools.lru_cache(maxsize=8)
 def _load(model_name: str, params_path: str, params_mtime: float,
           scale_factor: int, num_channels: int | None, dtype: str,
-          fused: bool, quantize: bool | str = False):
+          fused: bool, quantize: bool | str = False,
+          output_u8: bool = False):
     # params_mtime keys the cache so a re-exported file at the same path
     # is picked up instead of serving stale weights
     del params_mtime
@@ -97,7 +112,8 @@ def _load(model_name: str, params_path: str, params_mtime: float,
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
 
-    fn = make_serving_predict(model, variables, fused, quantize)
+    fn = make_serving_predict(model, variables, fused, quantize,
+                              output_u8=output_u8)
     return spec, channels, fn
 
 
@@ -112,6 +128,7 @@ def upscale(
     fused: bool = False,
     quantize: bool | str = False,
     color_space: str = "rgb",
+    output_u8: bool = True,
 ) -> np.ndarray:
     """Super-resolve a uint8 (H, W[, C]) image → uint8 (rH, rW, C).
 
@@ -122,7 +139,10 @@ def upscale(
     forward (sr.quant — ~0.007 dB, int8 weight literals in the
     executable; ``"static"`` calibrates activation scales on the first
     image and is the fast int8 mode, composing with ``fused=True``).
-    ``color_space`` declares how a
+    ``output_u8`` (default on): quantize to uint8 ON DEVICE
+    (bit-equal to the host conversion, ¼ the device→host bytes; set
+    False to reproduce the float-fetch behavior). ``color_space``
+    declares how a
     3-channel ``img`` is encoded ('rgb' or 'ycbcr'); 1-channel models
     super-resolve the LUMA channel (converting from RGB when needed),
     merge bicubic-upscaled chroma back, and return the input encoding.
@@ -136,7 +156,7 @@ def upscale(
 
     spec, channels, fn = _load(
         model_name, params_path, os.path.getmtime(params_path),
-        scale_factor, num_channels, dtype, fused, quantize,
+        scale_factor, num_channels, dtype, fused, quantize, output_u8,
     )
     if img.ndim == 2:
         img = img[:, :, None]
@@ -177,8 +197,12 @@ def upscale(
         out = tiled_predict(fn, x, net_scale, tile=tile, halo=halo)
     else:
         out = fn(x)
-    sr = np.asarray(out, np.float32)[0]
-    sr_u8 = np.clip(np.round(sr * 255.0), 0, 255).astype(np.uint8)
+    out = np.asarray(out)
+    if out.dtype == np.uint8:  # device already quantized (output_u8)
+        sr_u8 = out[0]
+    else:
+        sr_u8 = np.clip(np.round(out.astype(np.float32)[0] * 255.0),
+                        0, 255).astype(np.uint8)
 
     if channels == 1 and img.shape[-1] == 3:
         # merge model luma with bicubic-upscaled chroma

@@ -153,7 +153,8 @@ def make_fused_tail_predict(model, variables, support: int = 7):
 
 
 def make_fused_tail_predict_quant(model, variables, support: int = 7,
-                                  calib_headroom: float = 1.0):
+                                  calib_headroom: float = 1.0,
+                                  output_u8: bool = False):
     """Fused affine tail + STATIC-int8 body: the fast serving composite.
 
     Body convs run s8xs8->s32 with calibrated per-tensor activation
@@ -175,9 +176,6 @@ def make_fused_tail_predict_quant(model, variables, support: int = 7,
                                method="tail").astype(jnp.float32)
 
     K, b = extract_affine_conv(tail_f32, model.base_filter, r, support)
-    s_K = np.maximum(np.abs(K).max(axis=(0, 1, 2)) / 127.0, _EPS)
-    qK_j = jnp.asarray(
-        np.clip(np.round(K / s_K), -127, 127).astype(np.int8))
     b_j = jnp.asarray(b, jnp.float32)
 
     def _first_tail_conv_site() -> str | None:
@@ -227,21 +225,36 @@ def make_fused_tail_predict_quant(model, variables, support: int = 7,
             s_h = max(
                 float(jnp.max(jnp.abs(h_cal.astype(jnp.float32))))
                 / 127.0, _EPS)
-        s_out = jnp.asarray(s_h * s_K, jnp.float32)
+        if np.ndim(s_h) == 1:  # per-channel: fold into K (see int8_conv)
+            s_h = np.maximum(s_h, _EPS)
+            Kf = K * np.asarray(s_h)[None, None, :, None]
+        else:
+            Kf = K * float(s_h)
+        s_K = np.maximum(np.abs(Kf).max(axis=(0, 1, 2)) / 127.0, _EPS)
+        qK_j = jnp.asarray(
+            np.clip(np.round(Kf / s_K), -127, 127).astype(np.int8))
+        s_out = jnp.asarray(s_K, jnp.float32)
+        inv_s_h = jnp.asarray(1.0 / np.asarray(s_h, np.float32),
+                              jnp.float32)
 
         @jax.jit
         def fn(x):
             h = quantized_apply(model, variables, x, scales=scales,
                                 train=False, method="body")
             q_h = jnp.clip(
-                jnp.round(h.astype(jnp.float32) * (1.0 / s_h)),
+                jnp.round(h.astype(jnp.float32) * inv_s_h),
                 -127, 127).astype(jnp.int8)
             z = jax.lax.conv_general_dilated(
                 q_h, qK_j, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32) * s_out + b_j
-            return depth_to_space_ref(z.astype(h.dtype), r)
+            y = depth_to_space_ref(z.astype(h.dtype), r)
+            if output_u8:
+                from sr.quant import to_u8
+
+                return to_u8(y)
+            return y
 
         return fn
 

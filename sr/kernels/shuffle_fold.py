@@ -174,7 +174,8 @@ def make_folded_tail_predict(model, variables):
 
 
 def make_folded_tail_predict_quant(model, variables,
-                                   calib_headroom: float = 1.0):
+                                   calib_headroom: float = 1.0,
+                                   output_u8: bool = False):
     """Static-int8 body + int8 stage convs + int8 PHASE-FOLDED output
     conv: the fast int8 serving composite for activation-bearing PS
     tails (SRResNet/SRGAN — reference srgan.py:Net — whose PReLU stages
@@ -189,7 +190,7 @@ def make_folded_tail_predict_quant(model, variables,
     scale transfers unchanged. Calibration happens lazily on the first
     batch, like ``make_quantized_predict(mode="static")``.
     """
-    from sr.quant import (calibrate_scales, quantize_activation,
+    from sr.quant import (_EPS, calibrate_scales, quantize_activation,
                           quantize_activation_static, quantize_kernel,
                           quantized_apply)
 
@@ -205,15 +206,14 @@ def make_folded_tail_predict_quant(model, variables,
         na = blk.get("_NormAct_0")
         if na is not None and "PReLU_0" in na:
             slope = jnp.asarray(na["PReLU_0"]["slope"], jnp.float32)
-        kern = jnp.asarray(blk["Conv_0"]["kernel"], jnp.float32)
+        kern = np.asarray(blk["Conv_0"]["kernel"], np.float32)
         r2 = kern.shape[-1] // f
         r = int(round(r2 ** 0.5))
         assert r * r * f == kern.shape[-1], (kern.shape, f)
-        q_w, s_w = quantize_kernel(kern)
-        stages.append((q_w, s_w,
+        stages.append((kern,
                        jnp.asarray(blk["Conv_0"]["bias"], jnp.float32),
                        slope, r, f"upsample_{i}/Conv_0"))
-    r_last = stages[-1][4]
+    r_last = stages[-1][3]
     oc, oc_site = p["out_conv"], "out_conv"
     if "kernel" not in oc:  # ConvBlock wrapping (EDSR) vs bare nn.Conv
         oc, oc_site = oc["Conv_0"], "out_conv/Conv_0"
@@ -221,21 +221,8 @@ def make_folded_tail_predict_quant(model, variables,
         np.asarray(oc["kernel"], np.float32), r_last)
     t = wf.shape[0]
     pad_lo, pad_hi = -dmin, t - 1 + dmin
-    q_wf, s_wf = quantize_kernel(jnp.asarray(wf))
     bf_j = jnp.asarray(fold_bias(np.asarray(oc["bias"], np.float32),
                                  r_last), jnp.float32)
-
-    def int8_conv_static(x, q_w, s_w, bias, s_x, padding):
-        if s_x is None:  # site missed by calibration: per-sample scale
-            q_x, s_xj = quantize_activation(x)
-        else:
-            q_x, s_xj = quantize_activation_static(x, s_x)
-        y = jax.lax.conv_general_dilated(
-            q_x, q_w, (1, 1), (padding, padding),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * (s_xj * s_w) + bias
-        return y.astype(x.dtype)
 
     def maybe_act(x, slope):
         if slope is None:
@@ -250,24 +237,69 @@ def make_folded_tail_predict_quant(model, variables,
         scales = calibrate_scales(model, variables, x,
                                   headroom=calib_headroom, train=False)
 
+        def prep(kern, s_x):
+            """Quantize one hand-run conv for its calibrated input scale:
+            per-channel vectors fold into the weights (sr.quant.int8_conv
+            derivation), so the dequant is one per-out-channel multiply."""
+            if s_x is not None and np.ndim(s_x) == 1:
+                s_c = np.maximum(np.asarray(s_x, np.float32), _EPS)
+                q_w, s_w = quantize_kernel(
+                    jnp.asarray(kern * s_c[None, None, :, None]))
+                return q_w, s_w, jnp.asarray(s_c, jnp.float32)
+            q_w, s_w = quantize_kernel(jnp.asarray(kern))
+            return q_w, s_w, s_x  # float or None (dynamic)
+
+        def int8_conv_static(x, q_w, s_w, bias, s_x, padding):
+            if s_x is None:  # site missed by calibration: per-sample
+                q_x, s_xj = quantize_activation(x)
+                mult = s_xj * s_w
+            elif getattr(s_x, "ndim", 0) == 1:  # folded per-channel
+                q_x, _ = quantize_activation_static(x, s_x)
+                mult = s_w
+            else:
+                q_x, s_xj = quantize_activation_static(x, float(s_x))
+                mult = s_xj * s_w
+            y = jax.lax.conv_general_dilated(
+                q_x, q_w, (1, 1), (padding, padding),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * mult + bias
+            return y.astype(x.dtype)
+
+        qstages = [(prep(kern, scales.get(site)), b, slope, r)
+                   for kern, b, slope, r, site in stages]
+        s_oc = scales.get(oc_site)
+        if s_oc is not None and np.ndim(s_oc) == 1:
+            # the out-conv site calibrates POST-shuffle channels (C);
+            # the folded conv's input has C·r² pre-shuffle channels,
+            # channel map (c,iy,ix) → c·r²+iy·r+ix — each post channel's
+            # amax bounds its whole r² phase group, so repeat is exact
+            # (conservative within the group)
+            s_oc = np.repeat(np.asarray(s_oc, np.float32), r_last * r_last)
+        q_wf3 = prep(wf, s_oc)
+
         @jax.jit
         def fn(x):
             h = quantized_apply(model, variables, x, scales=scales,
                                 train=False, method="body")
-            for q_w, s_w, b, slope, r, site in stages[:-1]:
+            for (q_w, s_w, s_x), b, slope, r in qstages[:-1]:
                 k = q_w.shape[0]
                 h = maybe_act(depth_to_space(int8_conv_static(
-                    h, q_w, s_w, b, scales.get(site), (k // 2, k // 2)), r),
-                    slope)
-            q_w, s_w, b, slope, _, site = stages[-1]
+                    h, q_w, s_w, b, s_x, (k // 2, k // 2)), r), slope)
+            (q_w, s_w, s_x), b, slope, _ = qstages[-1]
             k = q_w.shape[0]
             # last stage stays PRE-shuffle (PReLU commutes with d2s);
             # the output conv is folded through the shuffle
             a = maybe_act(int8_conv_static(
-                h, q_w, s_w, b, scales.get(site), (k // 2, k // 2)), slope)
-            z = int8_conv_static(a, q_wf, s_wf, bf_j,
-                                 scales.get(oc_site), (pad_lo, pad_hi))
-            return depth_to_space(z, r_last)
+                h, q_w, s_w, b, s_x, (k // 2, k // 2)), slope)
+            z = int8_conv_static(a, q_wf3[0], q_wf3[1], bf_j, q_wf3[2],
+                                 (pad_lo, pad_hi))
+            y = depth_to_space(z, r_last)
+            if output_u8:
+                from sr.quant import to_u8
+
+                return to_u8(y)
+            return y
 
         return fn
 

@@ -57,6 +57,17 @@ def _as_pair(v) -> tuple:
     return tuple(v)
 
 
+def to_u8(y: jax.Array) -> jax.Array:
+    """On-device [0,1]-float → uint8 image quantization, bit-equal to the
+    host-side ``np.clip(np.round(sr*255), 0, 255).astype(uint8)`` that
+    sr.infer/sr.serve otherwise apply (same f32 math, same half-to-even
+    rounding). Emitting u8 from the serving program quarters the
+    device→host bytes vs f32 (production PCIe/relay win) — measured in
+    PERF.md "u8 serving output"."""
+    return jnp.clip(jnp.round(y.astype(jnp.float32) * 255.0),
+                    0, 255).astype(jnp.uint8)
+
+
 def quantize_kernel(kernel: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-output-channel symmetric int8: (kh, kw, cin, cout) f32 ->
     (int8 kernel, f32 per-channel scale[cout])."""
@@ -97,9 +108,12 @@ def _canonical_padding(padding):
         return None
 
 
-def quantize_activation_static(x: jax.Array, scale: float
+def quantize_activation_static(x: jax.Array, scale
                                ) -> tuple[jax.Array, jax.Array]:
-    """Per-tensor symmetric int8 with a STATIC (calibrated) scale.
+    """Symmetric int8 with a STATIC (calibrated) scale — a per-tensor
+    float or a per-channel ``(C,)`` vector (broadcast over the last
+    axis; a vector caller must fold the scales into the weights, see
+    ``int8_conv``).
 
     The scale is a trace-time constant, so there is no on-device amax
     reduce and the round/clip/cast chain fuses into the epilogue of
@@ -109,10 +123,10 @@ def quantize_activation_static(x: jax.Array, scale: float
     the dynamic path, PERF.md round-3 int8 entry). Out-of-range
     activations saturate at +/-127 — graceful for PSNR, and the scale
     comes from a real forward (``calibrate_scales``)."""
-    s = max(float(scale), _EPS)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) * (1.0 / s)),
+    s = jnp.maximum(jnp.asarray(scale, jnp.float32), _EPS)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s),
                  -127, 127).astype(jnp.int8)
-    return q, jnp.float32(s)
+    return q, s
 
 
 def _site_key(m: nn.Module) -> str:
@@ -134,14 +148,23 @@ def _eligible(m, args) -> bool:
 
 
 def calibrate_scales(model: nn.Module, variables: dict, x: jax.Array,
-                     headroom: float = 1.0, **apply_kwargs
-                     ) -> dict[str, float]:
+                     headroom: float = 1.0, per_channel: bool = True,
+                     **apply_kwargs) -> dict[str, Any]:
     """One jitted f32 forward that records each eligible conv site's
     input amax; returns ``{module-path: scale}`` for the static int8
     path. Sites visited more than once under one trace (shared/looped
     modules) keep the max. ``headroom`` multiplies every scale (1.0 =
     exact calibration amax; >1 trades grid resolution for clip
-    margin)."""
+    margin).
+
+    ``per_channel`` (default): the scale is a per-input-CHANNEL ``(C,)``
+    vector instead of one float — strictly finer quantization at zero
+    runtime cost, because ``int8_conv`` folds the channel scales into
+    the (already per-output-channel) weight quantization and the
+    activation quantize stays one fused elementwise op. This is what
+    keeps static-mode PSNR at dynamic-mode level (per-tensor static
+    measured up to −2.2 dB on trained EDSR whose channel ranges differ
+    wildly — RESULTS.md int8 columns)."""
 
     def _capture(x):
         captured: dict[str, jax.Array] = {}
@@ -155,7 +178,11 @@ def calibrate_scales(model: nn.Module, variables: dict, x: jax.Array,
             m = context.module
             if (_eligible(m, args) and context.method_name == "__call__"
                     and getattr(args[0], "_trace", None) is outer_trace):
-                amax = jnp.max(jnp.abs(args[0].astype(jnp.float32)))
+                a32 = jnp.abs(args[0].astype(jnp.float32))
+                if per_channel:
+                    amax = jnp.max(a32, axis=tuple(range(a32.ndim - 1)))
+                else:
+                    amax = jnp.max(a32)
                 k = _site_key(m)
                 if k in captured:
                     amax = jnp.maximum(captured[k], amax)
@@ -172,9 +199,17 @@ def calibrate_scales(model: nn.Module, variables: dict, x: jax.Array,
     keys = list(out)
     if not keys:
         return {}
-    vals = np.asarray(jnp.stack([out[k] for k in keys]))
-    return {k: max(float(v) * headroom / 127.0, _EPS)
-            for k, v in zip(keys, vals)}
+    flat = np.asarray(jnp.concatenate(
+        [out[k].reshape(-1) for k in keys]))
+    scales: dict[str, Any] = {}
+    pos = 0
+    for k in keys:
+        n = int(np.prod(out[k].shape, dtype=np.int64)) or 1
+        v = flat[pos:pos + n] * (headroom / 127.0)
+        pos += n
+        scales[k] = (np.maximum(v, _EPS) if per_channel
+                     else max(float(v[0]), _EPS))
+    return scales
 
 
 def calibrate_scales_batches(model: nn.Module, variables: dict,
@@ -184,12 +219,12 @@ def calibrate_scales_batches(model: nn.Module, variables: dict,
     site's max — use when one batch may under-represent the activation
     range (e.g. calibrating an export artifact on a handful of real
     images instead of serving's first request)."""
-    out: dict[str, float] = {}
+    out: dict[str, Any] = {}
     for x in batches:
         s = calibrate_scales(model, variables, x, headroom=headroom,
                              **apply_kwargs)
         for k, v in s.items():
-            out[k] = max(out.get(k, 0.0), v)
+            out[k] = np.maximum(out[k], v) if k in out else v
     if not out:
         raise ValueError("calibrate_scales_batches: empty batch iterable")
     return out
@@ -207,23 +242,39 @@ def _pallas_3x3_eligible(m: nn.Conv, padding) -> bool:
 
 
 def int8_conv(x: jax.Array, m: nn.Conv,
-              static_scale: float | None = None,
+              static_scale=None,
               conv_backend: str = "xla") -> jax.Array:
     """Run a bound ``nn.Conv`` module's conv as s8 x s8 -> s32 with an
     f32 rescale; mirrors the module's geometry (strides/padding/groups)
-    exactly. ``static_scale``: calibrated per-tensor activation scale
-    (constant-folded); None = dynamic per-sample scale.
+    exactly. ``static_scale``: calibrated activation scale
+    (constant-folded) — a per-tensor float, or a per-input-channel
+    ``(C,)`` vector whose scales FOLD INTO the weight quantization
+    (``q_x[c] ≈ x[c]/s_c`` against ``W'[..,c,..] = W·s_c`` keeps the
+    product exact, so the dequant stays one per-output-channel
+    multiply); None = dynamic per-sample scale.
     ``conv_backend``: "xla" (default) or "pallas" — routes eligible
     3x3/stride-1/SAME convs through the VMEM im2col kernel
     (sr/kernels/int8_conv.py; others fall back to XLA). On the CPU
     backend the Pallas path runs in interpret mode (test substrate)."""
     params = m.variables["params"]
     kernel = params["kernel"]
-    q_w, s_w = quantize_kernel(kernel)
-    if static_scale is not None:
-        q_x, s_x = quantize_activation_static(x, static_scale)
+    if (static_scale is not None and np.ndim(static_scale) == 1
+            and m.feature_group_count != 1):
+        # grouped convs: channel→kernel-input mapping is not 1:1;
+        # collapse to a conservative per-tensor scale instead
+        static_scale = float(np.max(static_scale))
+    if static_scale is not None and np.ndim(static_scale) == 1:
+        s_c = jnp.asarray(np.maximum(static_scale, _EPS), jnp.float32)
+        kernel = kernel.astype(jnp.float32) * s_c[None, None, :, None]
+        q_w, s_w = quantize_kernel(kernel)
+        q_x, _ = quantize_activation_static(x, s_c)
+        s_x = jnp.float32(1.0)  # absorbed into the folded weights
     else:
-        q_x, s_x = quantize_activation(x)
+        q_w, s_w = quantize_kernel(kernel)
+        if static_scale is not None:
+            q_x, s_x = quantize_activation_static(x, static_scale)
+        else:
+            q_x, s_x = quantize_activation(x)
     strides = _as_pair(m.strides or 1)
     padding = _canonical_padding(m.padding)
     if padding is None:
@@ -275,7 +326,8 @@ def quantized_apply(model: nn.Module, variables: dict, x: jax.Array,
 
 def make_quantized_predict(model: nn.Module, variables: dict,
                            mode: str = "dynamic",
-                           calib_headroom: float = 1.0):
+                           calib_headroom: float = 1.0,
+                           output_u8: bool = False):
     """Jitted serving forward with int8 convs. ``variables`` are closed
     over, so XLA folds the weight quantization at compile time and the
     executable carries int8 weight literals.
@@ -295,9 +347,11 @@ def make_quantized_predict(model: nn.Module, variables: dict,
     """
     if mode not in ("dynamic", "static"):
         raise ValueError(f"unknown quantization mode: {mode!r}")
+    post = to_u8 if output_u8 else (lambda y: y)
     if mode == "dynamic":
         return jax.jit(
-            lambda x: quantized_apply(model, variables, x, train=False)
+            lambda x: post(quantized_apply(model, variables, x,
+                                           train=False))
         )
 
     state: dict[str, Any] = {}
@@ -311,9 +365,9 @@ def make_quantized_predict(model: nn.Module, variables: dict,
                         model, variables, x, headroom=calib_headroom,
                         train=False)
                     state["fn"] = jax.jit(
-                        lambda x: quantized_apply(model, variables, x,
-                                                  scales=scales,
-                                                  train=False))
+                        lambda x: post(quantized_apply(model, variables, x,
+                                                       scales=scales,
+                                                       train=False)))
         return state["fn"](x)
 
     return predict

@@ -291,8 +291,12 @@ class SRService:
             out = self.batcher.run((bh, bw), fn, x[None])
         else:
             out = fn(x[None])
-        sr = np.asarray(out, np.float32)[0][:out_h, :out_w]
-        sr_u8 = np.clip(np.round(sr * 255.0), 0, 255).astype(np.uint8)
+        out = np.asarray(out)
+        if out.dtype == np.uint8:  # artifact exported with output_u8
+            sr_u8 = out[0][:out_h, :out_w]
+        else:
+            sr = out.astype(np.float32)[0][:out_h, :out_w]
+            sr_u8 = np.clip(np.round(sr * 255.0), 0, 255).astype(np.uint8)
         if c == 1:
             from sr.eval.metrics import ycbcr_to_rgb
 

@@ -383,9 +383,16 @@ def test_calibrate_scales_sites_and_static_apply():
     variables = model.init(jax.random.key(0), x)
     scales = calibrate_scales(model, variables, x)
     assert set(scales) == {"Conv_0", "Conv_1"}
-    # first conv's scale is the input's amax/127
+    # default is per-input-channel: the first conv's scale vector is the
+    # input's per-channel amax/127
     np.testing.assert_allclose(
-        scales["Conv_0"], float(jnp.max(jnp.abs(x))) / 127.0, rtol=1e-6)
+        scales["Conv_0"],
+        np.asarray(jnp.max(jnp.abs(x), axis=(0, 1, 2))) / 127.0,
+        rtol=1e-6)
+    # per-tensor mode preserved behind the flag
+    pt = calibrate_scales(model, variables, x, per_channel=False)
+    np.testing.assert_allclose(
+        pt["Conv_0"], float(jnp.max(jnp.abs(x))) / 127.0, rtol=1e-6)
     ref = np.asarray(model.apply(variables, x))
     out = np.asarray(quantized_apply(model, variables, x, scales=scales))
     scale = max(np.abs(ref).max(), 1e-3)
@@ -431,7 +438,9 @@ def test_calibrate_scales_batches_keeps_max():
     variables = model.init(jax.random.key(0), x1)
     agg = calibrate_scales_batches(model, variables, [x1, x2])
     only2 = calibrate_scales(model, variables, x2)
-    assert agg == only2  # x2 dominates every site
+    assert set(agg) == set(only2)  # x2 dominates every site
+    for k in agg:
+        np.testing.assert_allclose(agg[k], only2[k], rtol=1e-7)
     with pytest.raises(ValueError, match="empty"):
         calibrate_scales_batches(model, variables, [])
 
