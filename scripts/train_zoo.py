@@ -112,9 +112,22 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
         )
         out["psnr_int8"] = qres.summary()["psnr_sr"]
         out["ssim_int8"] = qres.summary().get("ssim_sr")
-        # static-calibrated scales (the fast int8 mode): calibrates on
-        # the first eval image it sees, like serving would
-        sfn = make_quantized_predict(q_model, q_vars, mode="static")
+        # static-calibrated scales (the fast int8 mode), calibrated on
+        # the FULL eval corpus (the recommended deployment procedure —
+        # single-image lazy calibration saturates on range-diverse
+        # datasets; that serving-default behavior is the _lazy column)
+        import jax as _jax
+
+        from sr.eval.runner import eval_model_inputs
+        from sr.quant import calibrate_scales_batches, quantized_apply
+
+        scales = calibrate_scales_batches(
+            q_model, q_vars,
+            eval_model_inputs(test_set, cfg.scale_factor, color_c,
+                              spec.pre_upsample),
+            train=False)
+        sfn = _jax.jit(lambda x: quantized_apply(
+            q_model, q_vars, x, scales=scales, train=False))
         sres = evaluate(
             sfn, test_set, cfg.scale_factor, channels=color_c,
             pre_upsample=spec.pre_upsample, dataset_name=cfg.test_dataset,
@@ -123,6 +136,14 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
         )
         out["psnr_int8_static"] = sres.summary()["psnr_sr"]
         out["ssim_int8_static"] = sres.summary().get("ssim_sr")
+        lfn = make_quantized_predict(q_model, q_vars, mode="static")
+        lres = evaluate(
+            lfn, test_set, cfg.scale_factor, channels=color_c,
+            pre_upsample=spec.pre_upsample, dataset_name=cfg.test_dataset,
+            color_space="rgb" if cfg.test_dataset == "synthetic"
+            else "ycbcr",
+        )
+        out["psnr_int8_static_lazy"] = lres.summary()["psnr_sr"]
     print(json.dumps(out), flush=True)
     return out
 

@@ -131,6 +131,40 @@ def _pad_plan(ih: int, iw: int, win: int, halo: int) -> tuple[bool, bool, bool]:
     return pad_h and not fallback, pad_w and not fallback, fallback
 
 
+def _prep_eval_image(img, r: int, channels: int, pre_upsample: bool):
+    """The harness's per-image input contract (reference:
+    dataset.py:DatasetFromFolder test mode): modulo-crop → exact bicubic
+    LR → bicubic-up baseline → normalized model input. Returns
+    ``(hr, bicubic, model_in_u8, x)`` with ``x`` a (1,h,w,C) f32 [0,1]
+    batch shaped exactly as ``evaluate`` feeds ``predict_fn``."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    hr = modulo_crop(img, r)
+    h, w = hr.shape[:2]
+    lr = resize_bicubic_u8(hr, (h // r, w // r))
+    bc = resize_bicubic_u8(lr, (h, w))
+    if channels == 1:
+        model_in = (bc if pre_upsample else lr)[..., :1]
+    else:
+        model_in = bc if pre_upsample else lr
+        if model_in.shape[-1] == 1:
+            model_in = np.repeat(model_in, 3, axis=2)
+    return hr, bc, model_in, model_in.astype(np.float32)[None] / 255.0
+
+
+def eval_model_inputs(dataset, scale_factor: int, channels: int,
+                      pre_upsample: bool):
+    """Yield every image's model input exactly as ``evaluate`` feeds it —
+    the calibration corpus for static-int8 quantization
+    (``sr.quant.calibrate_scales_batches``): calibrating on the full eval
+    set removes the single-image saturation that a lazy first-batch
+    calibration suffers on range-diverse datasets (RESULTS.md int8
+    columns)."""
+    for i in range(len(dataset)):
+        yield _prep_eval_image(dataset[i], scale_factor, channels,
+                               pre_upsample)[3]
+
+
 def evaluate(
     predict_fn,
     dataset,
@@ -213,21 +247,8 @@ def evaluate(
 
     names = dataset.names
     for i in range(len(dataset)):
-        img = dataset[i]
-        if img.ndim == 2:
-            img = img[:, :, None]
-        hr = modulo_crop(img, r)
-        h, w = hr.shape[:2]
-        lr = resize_bicubic_u8(hr, (h // r, w // r))
-        bc = resize_bicubic_u8(lr, (h, w))
-
-        if channels == 1:
-            model_in = (bc if pre_upsample else lr)[..., :1]
-        else:
-            model_in = bc if pre_upsample else lr
-            if model_in.shape[-1] == 1:
-                model_in = np.repeat(model_in, 3, axis=2)
-        x = model_in.astype(np.float32)[None] / 255.0
+        hr, bc, model_in, x = _prep_eval_image(
+            dataset[i], r, channels, pre_upsample)
         sr_dev = predict_fn(x)
 
         # metric region for shape-bucketed padded images: drop the
@@ -272,7 +293,10 @@ def evaluate(
             continue
 
         sr = np.asarray(sr_dev)[0]
-        sr_u8 = np.clip(np.round(sr * 255.0), 0, 255).astype(np.uint8)
+        if sr.dtype == np.uint8:  # predict emits u8 (sr.quant.to_u8)
+            sr_u8 = sr
+        else:
+            sr_u8 = np.clip(np.round(sr * 255.0), 0, 255).astype(np.uint8)
         sr_v = sr_u8[:vh, :vw]
 
         # --- PSNR on Y (the reference's parity metric) ----------------

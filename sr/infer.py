@@ -98,7 +98,7 @@ def make_serving_predict(model, variables, fused: bool,
 def _load(model_name: str, params_path: str, params_mtime: float,
           scale_factor: int, num_channels: int | None, dtype: str,
           fused: bool, quantize: bool | str = False,
-          output_u8: bool = False):
+          output_u8: bool = False, calib_headroom: float = 1.25):
     # params_mtime keys the cache so a re-exported file at the same path
     # is picked up instead of serving stale weights
     del params_mtime
@@ -113,7 +113,8 @@ def _load(model_name: str, params_path: str, params_mtime: float,
         variables["batch_stats"] = batch_stats
 
     fn = make_serving_predict(model, variables, fused, quantize,
-                              output_u8=output_u8)
+                              output_u8=output_u8,
+                              calib_headroom=calib_headroom)
     return spec, channels, fn
 
 
@@ -129,6 +130,7 @@ def upscale(
     quantize: bool | str = False,
     color_space: str = "rgb",
     output_u8: bool = True,
+    calib_headroom: float = 1.25,
 ) -> np.ndarray:
     """Super-resolve a uint8 (H, W[, C]) image → uint8 (rH, rW, C).
 
@@ -138,7 +140,10 @@ def upscale(
     see sr/kernels/fused_tail.py). ``quantize``: int8 convs for the
     forward (sr.quant — ~0.007 dB, int8 weight literals in the
     executable; ``"static"`` calibrates activation scales on the first
-    image and is the fast int8 mode, composing with ``fused=True``).
+    image and is the fast int8 mode, composing with ``fused=True``;
+    ``calib_headroom`` multiplies the lazily-calibrated scales — the
+    1.25 default buys clip margin against inputs hotter than the first
+    image, cheap under per-channel scales).
     ``output_u8`` (default on): quantize to uint8 ON DEVICE
     (bit-equal to the host conversion, ¼ the device→host bytes; set
     False to reproduce the float-fetch behavior). ``color_space``
@@ -157,6 +162,7 @@ def upscale(
     spec, channels, fn = _load(
         model_name, params_path, os.path.getmtime(params_path),
         scale_factor, num_channels, dtype, fused, quantize, output_u8,
+        calib_headroom,
     )
     if img.ndim == 2:
         img = img[:, :, None]
