@@ -18,11 +18,18 @@ chip. Two programs are timed:
 The fastest variant is the headline (its label names the mode); the
 others go to stderr, and exact is the fallback if fusion fails.
 
-Timing method: MARGINAL Δpixels/Δtime between batch 32 and 64 — this
+Timing method: MARGINAL Δpixels/Δtime between batch 64 and 192 — this
 environment's TPU sits behind a relay with a large fixed per-dispatch
-cost and a non-synchronizing block_until_ready, so sync happens via an
-on-device scalar reduce and the fixed cost is cancelled by the marginal.
-Cross-validated against a chained-scan measurement (PERF.md).
+cost (~35-45 ms wall at these program sizes) and a non-synchronizing
+block_until_ready, so sync happens via an on-device scalar reduce and
+the fixed cost is cancelled by the marginal. The batch pair must be
+large enough that the time delta is device-dominated: at b32/b64 the
+delta for the fastest variant is ~8 ms — inside the dispatch-floor
+noise (a b64->b128 "marginal" even measured negative; PERF.md round-3
+"marginal-estimator caveat"). At b64/b192 every variant's delta is
+>30 ms of real device time, and the exact graph still fits HBM (b256
+exceeds it by 264 MB). Cross-validated against chained-scan and
+absolute large-batch wall measurements (PERF.md).
 
 vs_baseline: ratio against the PyTorch reference on a paper-era GPU.
 The reference repo publishes no benchmark (SURVEY §6) and this
@@ -46,8 +53,8 @@ import time
 REF_GPU_MPS = 15.0  # estimated PyTorch-on-GPU reference (see docstring)
 
 LR_SIZE, SCALE = 128, 4
-B_SMALL, B_LARGE = 32, 64
-ITERS = 5
+B_SMALL, B_LARGE = 64, 192
+ITERS = 3
 REPEATS = 5  # interleaved repeats; median marginal (relay phase drift)
 
 
