@@ -36,7 +36,8 @@ def _build_predict(model_name: str, params_path: str, scale_factor: int,
                    cfg_overrides: dict | None = None,
                    quantize: bool | str = False,
                    calib_headroom: float = 1.0,
-                   output_u8: bool = False):
+                   output_u8: bool = False,
+                   calib_batches=None):
     from sr.models.registry import get_spec
     from sr.utils.checkpoint import load_params
     from sr.utils.config import SRConfig
@@ -56,7 +57,8 @@ def _build_predict(model_name: str, params_path: str, scale_factor: int,
 
     return (make_serving_predict(model, variables, fused, quantize,
                                  calib_headroom=calib_headroom,
-                                 output_u8=output_u8),
+                                 output_u8=output_u8,
+                                 calib_batches=calib_batches),
             channels)
 
 
@@ -80,11 +82,14 @@ def export_predict(
     ``quantize``: int8 convs (sr.quant) — the artifact then carries
     int8 weight literals (≈4x smaller than f32 weights). ``"static"``
     bakes calibrated activation scales in as constants (the fast int8
-    mode). ``calib_input``: a representative (1, h, w, C) f32 batch for
-    static calibration (e.g. a real LR image in [0, 1]); when None,
-    calibration falls back to uniform-random noise with 1.25x headroom
-    — noise excites different conv responses than natural images, so
-    prefer passing a real image when artifact quality matters.
+    mode). ``calib_input``: a representative (1, h, w, C) f32 batch —
+    or a LIST of such batches for CORPUS calibration (recommended:
+    single-image calibration measured up to −3 dB on range-diverse
+    data, RESULTS.md static-int8 matrix) — for static calibration;
+    when None, calibration falls back to uniform-random noise with
+    1.25x headroom — noise excites different conv responses than
+    natural images, so prefer passing real images when artifact
+    quality matters.
 
     ``lr_size``: the (static) LR input spatial size this artifact serves
     (pre-upsample models receive the bicubic-upscaled input, so pass the
@@ -94,17 +99,23 @@ def export_predict(
     """
     from jax import export as jex
 
+    calib_list = None
+    if calib_input is not None:
+        calib_list = ([jnp.asarray(b, jnp.float32) for b in calib_input]
+                      if isinstance(calib_input, (list, tuple))
+                      else [jnp.asarray(calib_input, jnp.float32)])
     predict, channels = _build_predict(
         model_name, params_path, scale_factor, num_channels, dtype, fused,
         cfg_overrides, quantize,
         calib_headroom=1.0 if calib_input is not None else 1.25,
-        output_u8=output_u8)
+        output_u8=output_u8, calib_batches=calib_list)
     h, w = (lr_size, lr_size) if isinstance(lr_size, int) else lr_size
     if quantize == "static":
         # the lazy predict calibrates on its first (concrete) batch —
         # must happen BEFORE jex.export traces it with abstract shapes
-        if calib_input is not None:
-            calib = jnp.asarray(calib_input, jnp.float32)
+        # (with calib_list set, the build uses the whole corpus instead)
+        if calib_list is not None:
+            calib = calib_list[0]
         else:  # noise fallback: 1.25x scale headroom (see docstring)
             calib = jax.random.uniform(jax.random.key(0),
                                        (1, h, w, channels), jnp.float32)
@@ -157,19 +168,24 @@ def export_bundle(
     """
     from jax import export as jex
 
+    calib_list = None
+    if calib_input is not None:
+        calib_list = ([jnp.asarray(b, jnp.float32) for b in calib_input]
+                      if isinstance(calib_input, (list, tuple))
+                      else [jnp.asarray(calib_input, jnp.float32)])
     predict, channels = _build_predict(
         model_name, params_path, scale_factor, num_channels, dtype, fused,
         cfg_overrides, quantize,
         calib_headroom=1.0 if calib_input is not None else 1.25,
-        output_u8=output_u8)
+        output_u8=output_u8, calib_batches=calib_list)
     exports, buckets = [], []
     for size in sorted(set(lr_sizes)):
         h, w = (size, size) if isinstance(size, int) else size
         if quantize == "static" and not exports:
-            # calibrate the lazy static predict on the smallest bucket
-            # (scales are shape-independent and shared by all buckets)
-            predict(jnp.asarray(calib_input, jnp.float32)
-                    if calib_input is not None else
+            # warm the lazy static predict on the smallest bucket (with
+            # calib_list set, the build calibrates on the whole corpus;
+            # scales are shape-independent and shared by all buckets)
+            predict(calib_list[0] if calib_list is not None else
                     jax.random.uniform(jax.random.key(0),
                                        (1, h, w, channels), jnp.float32))
         if symbolic_batch:
@@ -306,11 +322,12 @@ def main(argv: list[str] | None = None) -> None:
                         "artifact (bit-equal to the host conversion, "
                         "1/4 the device-to-host bytes; the server "
                         "detects it from the output dtype)")
-    p.add_argument("--calib_image", default=None,
-                   help="representative image file for --quantize "
-                        "static calibration (resized/cropped to the "
-                        "smallest lr_size; default: uniform noise with "
-                        "1.25x scale headroom)")
+    p.add_argument("--calib_image", nargs="*", default=None,
+                   help="representative image file(s) for --quantize "
+                        "static calibration (each resized to the "
+                        "smallest lr_size; several files = corpus "
+                        "calibration, recommended; default: uniform "
+                        "noise with 1.25x scale headroom)")
     a = p.parse_args(argv)
     overrides = {
         k: v for k, v in
@@ -327,10 +344,12 @@ def main(argv: list[str] | None = None) -> None:
 
         c = a.num_channels or get_spec(a.model_name).default_channels
         side = min(a.lr_size)
-        im = Image.open(a.calib_image).convert("L" if c == 1 else "RGB")
-        im = im.resize((side, side), Image.BICUBIC)
-        calib = (np.asarray(im, np.float32) / 255.0).reshape(
-            1, side, side, c)
+        calib = []
+        for path in a.calib_image:
+            im = Image.open(path).convert("L" if c == 1 else "RGB")
+            im = im.resize((side, side), Image.BICUBIC)
+            calib.append((np.asarray(im, np.float32) / 255.0).reshape(
+                1, side, side, c))
     if len(a.lr_size) > 1:
         meta, exports = export_bundle(
             a.model_name, a.params, a.scale_factor, a.num_channels, a.dtype,

@@ -27,7 +27,8 @@ from sr.utils.config import SRConfig
 def make_serving_predict(model, variables, fused: bool,
                          quantize: bool | str = False,
                          calib_headroom: float = 1.0,
-                         output_u8: bool = False):
+                         output_u8: bool = False,
+                         calib_batches=None):
     """ONE place for the serving-variant policy, shared by sr.infer and
     sr.export: ``fused`` picks the collapsed affine tail where the tail
     is affine (EDSR), else the exact phase-folded tail (SRResNet/SRGAN);
@@ -53,7 +54,7 @@ def make_serving_predict(model, variables, fused: bool,
 
                 return make_fused_tail_predict_quant(
                     model, variables, calib_headroom=calib_headroom,
-                    output_u8=output_u8)
+                    output_u8=output_u8, calib_batches=calib_batches)
             except (ValueError, KeyError):
                 # activation-bearing tails (SRResNet/SRGAN): int8 body
                 # + int8 phase-folded output conv instead
@@ -63,14 +64,15 @@ def make_serving_predict(model, variables, fused: bool,
 
                     return make_folded_tail_predict_quant(
                         model, variables, calib_headroom=calib_headroom,
-                        output_u8=output_u8)
+                        output_u8=output_u8, calib_batches=calib_batches)
                 except (ValueError, KeyError, AssertionError):
                     pass  # no PS tail: exact-graph static int8 below
         from sr.quant import make_quantized_predict
 
         return make_quantized_predict(model, variables, mode=mode,
                                       calib_headroom=calib_headroom,
-                                      output_u8=output_u8)
+                                      output_u8=output_u8,
+                                      calib_batches=calib_batches)
     if output_u8:
         from sr.quant import to_u8 as _post
     else:

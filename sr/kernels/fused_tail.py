@@ -154,7 +154,8 @@ def make_fused_tail_predict(model, variables, support: int = 7):
 
 def make_fused_tail_predict_quant(model, variables, support: int = 7,
                                   calib_headroom: float = 1.0,
-                                  output_u8: bool = False):
+                                  output_u8: bool = False,
+                                  calib_batches=None):
     """Fused affine tail + STATIC-int8 body: the fast serving composite.
 
     Body convs run s8xs8->s32 with calibrated per-tensor activation
@@ -214,8 +215,16 @@ def make_fused_tail_predict_quant(model, variables, support: int = 7,
         return state["fn"](x)
 
     def _build(x):
-        scales = calibrate_scales(model, variables, x,
-                                  headroom=calib_headroom, train=False)
+        if calib_batches is not None:  # corpus calibration (RESULTS.md)
+            from sr.quant import calibrate_scales_batches
+
+            scales = calibrate_scales_batches(
+                model, variables, calib_batches,
+                headroom=calib_headroom, train=False)
+        else:
+            scales = calibrate_scales(model, variables, x,
+                                      headroom=calib_headroom,
+                                      train=False)
         site = _first_tail_conv_site()
         if site is not None and site in scales:
             s_h = scales[site]  # body output == first tail conv input
@@ -249,12 +258,13 @@ def make_fused_tail_predict_quant(model, variables, support: int = 7,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32) * s_out + b_j
-            y = depth_to_space_ref(z.astype(h.dtype), r)
             if output_u8:
                 from sr.quant import to_u8
 
-                return to_u8(y)
-            return y
+                # to_u8 is elementwise and d2s a permutation — quantize
+                # PRE-shuffle so the d2s copy moves u8, not bf16/f32
+                return depth_to_space_ref(to_u8(z), r)
+            return depth_to_space_ref(z.astype(h.dtype), r)
 
         return fn
 

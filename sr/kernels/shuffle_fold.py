@@ -175,7 +175,8 @@ def make_folded_tail_predict(model, variables):
 
 def make_folded_tail_predict_quant(model, variables,
                                    calib_headroom: float = 1.0,
-                                   output_u8: bool = False):
+                                   output_u8: bool = False,
+                                   calib_batches=None):
     """Static-int8 body + int8 stage convs + int8 PHASE-FOLDED output
     conv: the fast int8 serving composite for activation-bearing PS
     tails (SRResNet/SRGAN — reference srgan.py:Net — whose PReLU stages
@@ -234,8 +235,16 @@ def make_folded_tail_predict_quant(model, variables,
     lock = threading.Lock()  # sr.serve serves from handler threads
 
     def _build(x):
-        scales = calibrate_scales(model, variables, x,
-                                  headroom=calib_headroom, train=False)
+        if calib_batches is not None:  # corpus calibration (RESULTS.md)
+            from sr.quant import calibrate_scales_batches
+
+            scales = calibrate_scales_batches(
+                model, variables, calib_batches,
+                headroom=calib_headroom, train=False)
+        else:
+            scales = calibrate_scales(model, variables, x,
+                                      headroom=calib_headroom,
+                                      train=False)
 
         def prep(kern, s_x):
             """Quantize one hand-run conv for its calibrated input scale:
@@ -294,12 +303,13 @@ def make_folded_tail_predict_quant(model, variables,
                 h, q_w, s_w, b, s_x, (k // 2, k // 2)), slope)
             z = int8_conv_static(a, q_wf3[0], q_wf3[1], bf_j, q_wf3[2],
                                  (pad_lo, pad_hi))
-            y = depth_to_space(z, r_last)
             if output_u8:
                 from sr.quant import to_u8
 
-                return to_u8(y)
-            return y
+                # to_u8 is elementwise and d2s a permutation — quantize
+                # PRE-shuffle so the d2s copy moves u8, not bf16/f32
+                return depth_to_space(to_u8(z), r_last)
+            return depth_to_space(z, r_last)
 
         return fn
 

@@ -327,7 +327,8 @@ def quantized_apply(model: nn.Module, variables: dict, x: jax.Array,
 def make_quantized_predict(model: nn.Module, variables: dict,
                            mode: str = "dynamic",
                            calib_headroom: float = 1.0,
-                           output_u8: bool = False):
+                           output_u8: bool = False,
+                           calib_batches=None):
     """Jitted serving forward with int8 convs. ``variables`` are closed
     over, so XLA folds the weight quantization at compile time and the
     executable carries int8 weight literals.
@@ -338,12 +339,16 @@ def make_quantized_predict(model: nn.Module, variables: dict,
       each call. Zero setup, outputs independent of co-batched traffic;
       throughput ~parity with bf16 (the amax reduce costs two HBM
       passes per conv).
-    * ``"static"`` — per-tensor scales calibrated ONCE on the first
-      batch this predict fn sees (one extra jitted f32 forward), then
+    * ``"static"`` — scales calibrated ONCE on the first batch this
+      predict fn sees (one extra jitted f32 forward), then
       constant-folded into every later trace. The requantize fuses
       into conv epilogues and the int8 MXU rate shows up end-to-end
       (scripts/bench_quant_e2e.py). Later inputs whose activations
-      exceed the calibrated range saturate at the int8 grid edge.
+      exceed the calibrated range saturate at the int8 grid edge —
+      pass ``calib_batches`` (an iterable of representative batches)
+      to calibrate on a CORPUS up front instead; single-image lazy
+      calibration measured up to −3 dB on range-diverse data
+      (RESULTS.md static-int8 matrix).
     """
     if mode not in ("dynamic", "static"):
         raise ValueError(f"unknown quantization mode: {mode!r}")
@@ -357,17 +362,23 @@ def make_quantized_predict(model: nn.Module, variables: dict,
     state: dict[str, Any] = {}
     lock = threading.Lock()  # sr.serve serves from handler threads
 
+    def _make(scales):
+        return jax.jit(
+            lambda x: post(quantized_apply(model, variables, x,
+                                           scales=scales, train=False)))
+
+    if calib_batches is not None:
+        state["fn"] = _make(calibrate_scales_batches(
+            model, variables, calib_batches, headroom=calib_headroom,
+            train=False))
+
     def predict(x):
         if "fn" not in state:
             with lock:
                 if "fn" not in state:
-                    scales = calibrate_scales(
+                    state["fn"] = _make(calibrate_scales(
                         model, variables, x, headroom=calib_headroom,
-                        train=False)
-                    state["fn"] = jax.jit(
-                        lambda x: post(quantized_apply(model, variables, x,
-                                                       scales=scales,
-                                                       train=False)))
+                        train=False))
         return state["fn"](x)
 
     return predict

@@ -83,10 +83,9 @@ class MicroBatcher:
         try:
             for start in range(0, len(batch), self.max_batch):
                 chunk = batch[start : start + self.max_batch]
+                # keep the program's output dtype (u8 artifacts stay u8)
                 ys = np.asarray(
-                    fn(np.concatenate([b["x"] for b in chunk], axis=0)),
-                    np.float32,
-                )
+                    fn(np.concatenate([b["x"] for b in chunk], axis=0)))
                 for i, b in enumerate(chunk):
                     b["out"] = ys[i : i + 1]
                 with self._lock:
@@ -153,7 +152,8 @@ class SRService:
                  scale_factor: int | None = None, fused: bool = True,
                  num_channels: int | None = None,
                  micro_batch: bool = True, linger_ms: float = 3.0,
-                 quantize: bool | str = False):
+                 quantize: bool | str = False,
+                 calib_headroom: float = 1.25):
         if (artifact is None) == (model_name is None):
             raise ValueError("pass either --artifact or --model_name+--params")
         if quantize and artifact is not None:
@@ -162,6 +162,7 @@ class SRService:
                 "--quantize applies to model mode; for artifacts, export "
                 "with quantize=True (sr.export)")
         self.quantize = quantize
+        self.calib_headroom = calib_headroom
         self.mode = "artifact" if artifact else "model"
         self.model_name = model_name
         self.fused = fused
@@ -319,7 +320,8 @@ class SRService:
             out = upscale(img, self.model_name, self.params,
                           scale_factor=self.scale_factor,
                           num_channels=self.num_channels, fused=self.fused,
-                          quantize=self.quantize)
+                          quantize=self.quantize,
+                          calib_headroom=self.calib_headroom)
         buf = io.BytesIO()
         Image.fromarray(out).save(buf, format="PNG")
         return buf.getvalue()
@@ -429,6 +431,12 @@ def main(argv=None) -> int:
     p.add_argument("--linger_ms", type=float, default=3.0,
                    help="micro-batch window: how long the first request "
                         "of a bucket waits for company")
+    p.add_argument("--calib_headroom", type=float, default=1.25,
+                   help="scale headroom for --quantize static's lazy "
+                        "first-request calibration (clip margin for "
+                        "hotter later inputs; corpus-calibrated "
+                        "artifacts are the production-quality path — "
+                        "sr.export --calib_image ...)")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--host", default="127.0.0.1",
                    help="bind address (default loopback; 0.0.0.0 exposes "
@@ -439,7 +447,7 @@ def main(argv=None) -> int:
         scale_factor=a.scale_factor, fused=not a.no_fused,
         num_channels=a.num_channels,
         micro_batch=not a.no_micro_batch, linger_ms=a.linger_ms,
-        quantize=a.quantize,
+        quantize=a.quantize, calib_headroom=a.calib_headroom,
     )
     httpd = make_server(service, a.port, a.host)
     print(f"serving {service.info()} on "

@@ -103,3 +103,89 @@ def _save(path, exp):
 
     save_artifact(str(path), exp)
     return str(path)
+
+
+def test_corpus_calibration_builders():
+    """calib_batches pre-calibrates the static predict on a corpus: the
+    result equals an explicit calibrate_scales_batches + static apply,
+    and differs from single-batch lazy calibration when a later batch
+    has the hotter range."""
+    import flax.linen as nn
+
+    from sr.quant import (
+        calibrate_scales_batches,
+        make_quantized_predict,
+        quantized_apply,
+    )
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(4, (3, 3), padding="SAME")(x)
+
+    model = Net()
+    x1 = jax.random.uniform(jax.random.key(1), (1, 8, 8, 2))
+    x2 = 3.0 * jax.random.uniform(jax.random.key(2), (1, 8, 8, 2))
+    v = model.init(jax.random.key(0), x1)
+    fn = make_quantized_predict(model, v, mode="static",
+                                calib_batches=[x1, x2])
+    scales = calibrate_scales_batches(model, v, [x1, x2])
+    want = np.asarray(jax.jit(lambda a: quantized_apply(
+        model, v, a, scales=scales))(x2))
+    np.testing.assert_array_equal(np.asarray(fn(x2)), want)
+    lazy = make_quantized_predict(model, v, mode="static")
+    lazy(x1)  # calibrates on the COLD batch
+    assert np.abs(np.asarray(lazy(x2)) - want).max() > 0
+
+
+def test_export_corpus_calibration(tmp_path):
+    """export_predict accepts a LIST of calibration batches."""
+    from sr.export import export_predict, load_artifact, save_artifact
+
+    cfg = SRConfig(model_name="ESPCN", scale_factor=2, num_channels=1,
+                   dtype="float32")
+    model = get_spec("ESPCN").make_model(cfg)
+    v = model.init(jax.random.key(0), np.zeros((1, 8, 8, 1), np.float32),
+                   train=False)
+    path = str(tmp_path / "ESPCN_params.npz")
+    save_params(path, v["params"])
+    rng = np.random.default_rng(5)
+    calib = [rng.uniform(0, 1, (1, 12, 12, 1)).astype(np.float32)
+             for _ in range(3)]
+    exp = export_predict("ESPCN", path, scale_factor=2, dtype="float32",
+                         lr_size=12, quantize="static", calib_input=calib)
+    ap = str(tmp_path / "c.hloart")
+    save_artifact(ap, exp)
+    x = calib[0]
+    out = np.asarray(load_artifact(ap)(x))
+    ref = np.asarray(model.apply(v, jnp.asarray(x), train=False))
+    rng_ = max(ref.max() - ref.min(), 1e-3)
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() / rng_ <= 0.05
+
+
+def test_serve_u8_artifact_bucket(tmp_path):
+    """A u8-output artifact serves identically to the f32 artifact
+    through the bucketed path (incl. the micro-batcher, which must not
+    cast the u8 output to float)."""
+    from sr.export import export_bundle, save_bundle
+    from sr.serve import SRService
+
+    cfg = SRConfig(model_name="ESPCN", scale_factor=2, num_channels=1,
+                   dtype="float32")
+    model = get_spec("ESPCN").make_model(cfg)
+    v = model.init(jax.random.key(0), np.zeros((1, 8, 8, 1), np.float32),
+                   train=False)
+    path = str(tmp_path / "ESPCN_params.npz")
+    save_params(path, v["params"])
+    outs = {}
+    for u8 in (False, True):
+        meta, exports = export_bundle(
+            "ESPCN", path, scale_factor=2, dtype="float32",
+            lr_sizes=(16,), output_u8=u8)
+        bp = str(tmp_path / f"b{int(u8)}.srbundle")
+        save_bundle(bp, meta, exports)
+        svc = SRService(artifact=bp)
+        img = SyntheticDataset(1, (14, 14), 3)[0]
+        outs[u8] = svc._serve_artifact(img)
+    np.testing.assert_array_equal(outs[False], outs[True])
