@@ -133,6 +133,7 @@ def upscale(
     color_space: str = "rgb",
     output_u8: bool = True,
     calib_headroom: float = 1.25,
+    self_ensemble: bool = False,
 ) -> np.ndarray:
     """Super-resolve a uint8 (H, W[, C]) image → uint8 (rH, rW, C).
 
@@ -154,7 +155,9 @@ def upscale(
     super-resolve the LUMA channel (converting from RGB when needed),
     merge bicubic-upscaled chroma back, and return the input encoding.
     3-channel models receive ``img`` as-is (feed them the space they
-    were trained in).
+    were trained in). ``self_ensemble``: average the 8 D4 flip/rotation
+    variants (the EDSR paper's '+' mode — 8 forwards for ~+0.1-0.3 dB;
+    the mean is taken in f32 BEFORE any u8 output quantization).
     """
     import os
 
@@ -163,9 +166,16 @@ def upscale(
 
     spec, channels, fn = _load(
         model_name, params_path, os.path.getmtime(params_path),
-        scale_factor, num_channels, dtype, fused, quantize, output_u8,
+        scale_factor, num_channels, dtype, fused, quantize,
+        # ensemble members must stay float: averaging already-rounded u8
+        # outputs loses up to half a grid step per member
+        output_u8 and not self_ensemble,
         calib_headroom,
     )
+    if self_ensemble:
+        from sr.eval.ensemble import make_self_ensemble_predict
+
+        fn = make_self_ensemble_predict(fn, output_u8=output_u8)
     if img.ndim == 2:
         img = img[:, :, None]
     r = scale_factor

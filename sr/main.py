@@ -73,6 +73,10 @@ def parse_args(argv=None) -> SRConfig:
                    choices=["item", "batch"],
                    help="sampler scale draw: per item (reference) or per "
                         "batch (1.37x faster stepping for small models)")
+    p.add_argument("--self_ensemble", action="store_true",
+                   help="geometric self-ensemble at eval: average the 8 "
+                        "D4 flip/rotation variants (the EDSR paper's '+' "
+                        "mode; ~8x eval cost for ~+0.1-0.3 dB)")
     p.add_argument("--fast_eval", action="store_true",
                    help="on-device PSNR, no image transfer / panels")
     p.add_argument("--export", action="store_true",
@@ -107,7 +111,7 @@ def parse_args(argv=None) -> SRConfig:
         vdsr_clip_theta=a.vdsr_clip_theta,
     )
     return check_args(cfg), (a.eval_only, a.fast_eval, a.export,
-                             a.export_torch)
+                             a.export_torch, a.self_ensemble)
 
 
 def check_args(cfg: SRConfig) -> SRConfig:
@@ -195,7 +199,8 @@ def main(argv=None) -> int:
         print(f"[multihost] process {_jax.process_index()}/"
               f"{_jax.process_count()}")
 
-    cfg, (eval_only, fast_eval, export, export_torch) = parse_args(argv)
+    cfg, (eval_only, fast_eval, export, export_torch,
+          self_ensemble) = parse_args(argv)
     spec = get_spec(cfg.model_name)
     run_dir = _run_dir(cfg)
     jsonl = JSONLLogger(os.path.join(run_dir, "metrics.jsonl"))
@@ -295,7 +300,16 @@ def main(argv=None) -> int:
     # params)
     save_params(os.path.join(run_dir, f"{cfg.model_name}_params.npz"),
                 *final_params)
+    if self_ensemble:
+        from sr.eval.ensemble import make_self_ensemble_predict
+
+        # wraps BELOW run_eval's static tiling: per-tile D4 ensemble is
+        # exact for the ensemble operator (sr/eval/ensemble.py docstring)
+        predict = make_self_ensemble_predict(predict)
+        print("[eval] geometric self-ensemble on (8 forwards/image)")
     summary = run_eval(cfg, spec, predict, run_dir, log=print, fast=fast_eval)
+    if self_ensemble:
+        summary["self_ensemble"] = True
     jsonl({"event": "eval", **summary})
     if export:
         print(f"[export] {export_artifact(cfg, spec, run_dir)}")

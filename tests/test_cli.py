@@ -45,7 +45,7 @@ def test_eval_only_flag():
 
 
 def test_export_flag_and_artifact(tmp_path):
-    _, (_, _, export, export_torch) = parse_args(
+    _, (_, _, export, export_torch, *_rest) = parse_args(
         ["--model_name", "ESPCN", "--export", "--save_dir", str(tmp_path)]
     )
     assert export is True and export_torch is False
