@@ -24,7 +24,7 @@ import numpy as np
 def run_one(name: str, steps: int, train_ds: str, test_ds: str,
             spd: int = 1, corpus: int = 0, vgg: str | None = None,
             scale_factor: int = 4, quant_eval: bool = False,
-            crop: int = 0) -> dict:
+            crop: int = 0, ensemble_eval: bool = False) -> dict:
     from sr.data.datasets import get_training_set
     from sr.data.pipeline import build_patch_pipeline
     from sr.eval.runner import evaluate
@@ -99,6 +99,19 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
         "train_s": round(time.time() - t0, 1),
         **res.summary(),
     }
+    if ensemble_eval:
+        # the '+' column: D4 geometric self-ensemble on the SAME weights
+        from sr.eval.ensemble import make_self_ensemble_predict
+
+        eres = evaluate(
+            make_self_ensemble_predict(predict), test_set,
+            cfg.scale_factor, channels=color_c,
+            pre_upsample=spec.pre_upsample, dataset_name=cfg.test_dataset,
+            color_space="rgb" if cfg.test_dataset == "synthetic"
+            else "ycbcr",
+        )
+        out["psnr_plus"] = eres.summary()["psnr_sr"]
+        out["ssim_plus"] = eres.summary().get("ssim_sr")
     if quant_eval:
         # int8 PTQ quality on the SAME trained weights + eval substrate
         from sr.quant import make_quantized_predict
@@ -166,6 +179,9 @@ def main():
     p.add_argument("--quant_eval", action="store_true",
                    help="also evaluate the int8-quantized forward "
                         "(sr.quant) on the trained weights")
+    p.add_argument("--ensemble_eval", action="store_true",
+                   help="also evaluate the D4 geometric self-ensemble "
+                        "('+' mode) on the trained weights")
     p.add_argument("--crop", type=int, default=0,
                    help="HR crop size (0 = 64; use 128+ at x8 so the "
                         "LR crop keeps enough context)")
@@ -180,7 +196,7 @@ def main():
             results.append(
                 run_one(name, a.steps, a.train_dataset, a.test_dataset,
                         a.spd, a.corpus, a.vgg, a.scale_factor,
-                        a.quant_eval, a.crop)
+                        a.quant_eval, a.crop, a.ensemble_eval)
             )
         except Exception as e:  # noqa: BLE001
             print(f"[zoo] {name} FAILED: {e}", file=sys.stderr, flush=True)

@@ -153,7 +153,8 @@ class SRService:
                  num_channels: int | None = None,
                  micro_batch: bool = True, linger_ms: float = 3.0,
                  quantize: bool | str = False,
-                 calib_headroom: float = 1.25):
+                 calib_headroom: float = 1.25,
+                 self_ensemble: bool = False):
         if (artifact is None) == (model_name is None):
             raise ValueError("pass either --artifact or --model_name+--params")
         if quantize and artifact is not None:
@@ -161,6 +162,13 @@ class SRService:
             raise ValueError(
                 "--quantize applies to model mode; for artifacts, export "
                 "with quantize=True (sr.export)")
+        if self_ensemble and artifact is not None:
+            # artifacts carry ONE lowered forward; the D4 ensemble wraps
+            # the live model (sr/eval/ensemble.py)
+            raise ValueError(
+                "--self_ensemble applies to model mode (artifacts are "
+                "pre-lowered single-forward programs)")
+        self.self_ensemble = self_ensemble
         self.quantize = quantize
         self.calib_headroom = calib_headroom
         self.mode = "artifact" if artifact else "model"
@@ -211,6 +219,8 @@ class SRService:
             "model_name": self.model_name,
             "scale_factor": self.scale_factor,
         }
+        if self.self_ensemble:
+            out["self_ensemble"] = True
         if self.mode == "artifact":
             out["buckets"] = [[h, w] for h, w, _ in self.buckets]
             out["net_scale"] = self.net_scale
@@ -321,7 +331,8 @@ class SRService:
                           scale_factor=self.scale_factor,
                           num_channels=self.num_channels, fused=self.fused,
                           quantize=self.quantize,
-                          calib_headroom=self.calib_headroom)
+                          calib_headroom=self.calib_headroom,
+                          self_ensemble=self.self_ensemble)
         buf = io.BytesIO()
         Image.fromarray(out).save(buf, format="PNG")
         return buf.getvalue()
@@ -437,6 +448,9 @@ def main(argv=None) -> int:
                         "hotter later inputs; corpus-calibrated "
                         "artifacts are the production-quality path — "
                         "sr.export --calib_image ...)")
+    p.add_argument("--self_ensemble", action="store_true",
+                   help="model mode: serve the D4 geometric self-"
+                        "ensemble (8 forwards/request, ~+0.1-0.5 dB)")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--host", default="127.0.0.1",
                    help="bind address (default loopback; 0.0.0.0 exposes "
@@ -448,6 +462,7 @@ def main(argv=None) -> int:
         num_channels=a.num_channels,
         micro_batch=not a.no_micro_batch, linger_ms=a.linger_ms,
         quantize=a.quantize, calib_headroom=a.calib_headroom,
+        self_ensemble=a.self_ensemble,
     )
     httpd = make_server(service, a.port, a.host)
     print(f"serving {service.info()} on "

@@ -368,3 +368,25 @@ def test_micro_batcher_chunk_failure_isolated():
     for i in ok:
         np.testing.assert_array_equal(results[i], np.full((1, 2, 2, 1),
                                                           2.0 * i))
+
+
+def test_serve_model_mode_self_ensemble(espcn_params):
+    """--self_ensemble serves the D4 ensemble; artifact mode rejects it."""
+    service = SRService(model_name="ESPCN", params=espcn_params,
+                        scale_factor=4, num_channels=1, fused=False,
+                        self_ensemble=True)
+    assert service.info().get("self_ensemble") is True
+    img = np.random.default_rng(3).integers(0, 255, (16, 12, 3), np.uint8)
+    from PIL import Image
+
+    ens = np.asarray(
+        Image.open(io.BytesIO(service.upscale_bytes(_png_bytes(img)))))
+    assert ens.shape == (64, 48, 3)
+    plain_service = SRService(model_name="ESPCN", params=espcn_params,
+                              scale_factor=4, num_channels=1, fused=False)
+    plain = np.asarray(
+        Image.open(io.BytesIO(plain_service.upscale_bytes(_png_bytes(img)))))
+    assert (ens != plain).any()  # a different (averaged) image
+
+    with pytest.raises(ValueError, match="self_ensemble"):
+        SRService(artifact="whatever.hloart", self_ensemble=True)
