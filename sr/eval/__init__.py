@@ -1,3 +1,4 @@
+from sr.eval.ensemble import make_self_ensemble_predict  # noqa: F401
 from sr.eval.metrics import (  # noqa: F401
     psnr,
     shave,
