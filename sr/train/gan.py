@@ -286,9 +286,12 @@ class GANTrainer:
                 "pretrain": self.make_multi_step(pipeline, k, "pretrain"),
                 "adversarial": self.make_multi_step(pipeline, k, "adversarial"),
             }
-        # resume support: G's step counts pretrain + adversarial steps
-        start_epoch = int(g_state.step) // spe
-        for epoch in range(start_epoch, num_epochs):
+        # resume support: G's step counts pretrain + adversarial steps.
+        # A mid-epoch restore runs only the REMAINING steps of its epoch
+        # (same arithmetic as Trainer.fit)
+        start_step = int(g_state.step)
+        for epoch in range(start_step // spe, num_epochs):
+            done = start_step % spe if epoch == start_step // spe else 0
             phase = "pretrain" if epoch < pre else "adversarial"
             agg = {}
 
@@ -332,7 +335,7 @@ class GANTrainer:
             from sr.train.loop import dispatch_epoch
 
             rng = dispatch_epoch(
-                spe, k, cfg.log_every, rng, do_single,
+                spe - done, k, cfg.log_every, rng, do_single,
                 do_multi if multi else None, _log,
             )
             print(f"epoch {epoch + 1}/{num_epochs} [{phase}] {agg}")

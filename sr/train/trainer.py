@@ -202,7 +202,15 @@ class Trainer:
 
         from sr.train.loop import dispatch_epoch
 
-        for epoch in range(int(state.step) // spe, num_epochs):
+        # Resume arithmetic: a restored state may land mid-epoch (step not
+        # a multiple of spe — e.g. a manual save). The first resumed epoch
+        # then runs only the REMAINING steps so the final step count is
+        # exactly num_epochs*spe. The batch stream is reproduced exactly
+        # because both the single-step and the scan-k paths consume one
+        # rng split per step (tests/test_trainer.py resume tests).
+        start_step = int(state.step)
+        for epoch in range(start_step // spe, num_epochs):
+            done = start_step % spe if epoch == start_step // spe else 0
             losses = []
 
             def _log(metrics):
@@ -232,7 +240,7 @@ class Trainer:
                 return rng, metrics
 
             rng = dispatch_epoch(
-                spe, k, cfg.log_every, rng, do_single,
+                spe - done, k, cfg.log_every, rng, do_single,
                 do_multi if multi is not None else None, _log,
             )
             avg = sum(losses) / max(len(losses), 1)

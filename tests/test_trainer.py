@@ -86,3 +86,108 @@ def test_fit_runs_epochs():
                    log_cb=logs.append)
     assert int(state.step) == 8
     assert logs and "loss" in logs[0]
+
+
+# -- fit-loop arithmetic hardening (VERDICT r3 next #7) ----------------------
+
+
+def _fit_setup(**cfg_kw):
+    """ESPCN mini-setup whose pipeline exposes sample_fn (scan-k capable)."""
+    cfg = SRConfig(model_name="ESPCN", scale_factor=2, crop_size=16,
+                   batch_size=8, num_channels=1, dtype="float32",
+                   steps_per_epoch=4, **cfg_kw)
+    ds = SyntheticDataset(num_images=2, size=(32, 32), channels=1)
+    pipe = PatchPipeline([ds[i] for i in range(2)], crop_size=16,
+                         scale_factor=2, batch_size=8, channels=1,
+                         augment=False, random_scale=False)
+    tr = Trainer(cfg)
+    b0 = pipe(jax.random.key(0))
+    state = tr.init_state(jax.random.key(1), b0["lr"][:1])
+    return tr, state, pipe
+
+
+def _leaves_allclose(a, b, rtol=0.0, atol=0.0):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=atol)
+
+
+def test_fit_resume_mid_epoch_exact():
+    """A state saved MID-epoch (step % spe != 0, rng threaded) resumes to
+    the bit-identical end state of an unkilled run (k=1 path)."""
+    tr_a, s_a, pipe = _fit_setup()
+    s_a = tr_a.fit(s_a, pipe, num_epochs=2, steps_per_epoch=4)
+    assert int(s_a.step) == 8
+
+    # path B: replay fit's exact stream for 3 steps, thread the rng
+    # (the contract for mid-epoch saves), then resume
+    tr_b, s_b, _ = _fit_setup()
+    rng = s_b.rng
+    for _ in range(3):
+        rng, sub = jax.random.split(rng)
+        s_b, _ = tr_b.train_step(s_b, pipe(sub))
+    s_b = s_b.replace(rng=rng)
+    s_b = tr_b.fit(s_b, pipe, num_epochs=2, steps_per_epoch=4)
+    assert int(s_b.step) == 8  # NOT 3 + 8: only remaining steps run
+    _leaves_allclose(s_a.params, s_b.params)
+
+
+def test_fit_resume_mid_epoch_with_scan_k():
+    """Resume at a step that is neither an epoch boundary nor a multiple
+    of steps_per_dispatch: exact step accounting, equivalent params (scan
+    vs single numerics within tolerance)."""
+    tr_a, s_a, pipe = _fit_setup(steps_per_dispatch=2)
+    s_a = tr_a.fit(s_a, pipe, num_epochs=2, steps_per_epoch=5)
+    assert int(s_a.step) == 10
+
+    tr_b, s_b, _ = _fit_setup(steps_per_dispatch=2)
+    rng = s_b.rng
+    for _ in range(3):  # 3 % 2 != 0 and 3 % 5 != 0
+        rng, sub = jax.random.split(rng)
+        s_b, _ = tr_b.train_step(s_b, pipe(sub))
+    s_b = s_b.replace(rng=rng)
+    s_b = tr_b.fit(s_b, pipe, num_epochs=2, steps_per_epoch=5)
+    assert int(s_b.step) == 10
+    _leaves_allclose(s_a.params, s_b.params, rtol=1e-5, atol=1e-6)
+
+
+def test_fit_resume_at_completion_is_noop():
+    tr, s, pipe = _fit_setup()
+    s = tr.fit(s, pipe, num_epochs=1, steps_per_epoch=4)
+    before = jax.tree.map(np.asarray, s.params)
+    s = tr.fit(s, pipe, num_epochs=1, steps_per_epoch=4)
+    assert int(s.step) == 4
+    _leaves_allclose(before, s.params)
+
+
+def test_fit_log_cadence_vs_k():
+    """log_every=2 with k=3: dispatch granularity quantizes logging up to
+    k — one log per fused dispatch, plus the epoch-end log."""
+    tr, s, pipe = _fit_setup(steps_per_dispatch=3, log_every=2)
+    logs = []
+    s = tr.fit(s, pipe, num_epochs=1, steps_per_epoch=7,
+               log_cb=logs.append)
+    assert int(s.step) == 7
+    # dispatches: k=3 at it=3, k=3 at it=6, single at it=7 (epoch end)
+    # cadence max(log_every,k)=3 → logs at it=3,6 and the it>=spe log at 7
+    assert len(logs) == 3, [l["step"] for l in logs]
+
+
+def test_fit_epoch_hook_gets_usable_state():
+    """eval_hook receives the POST-donation rebound state: predict and a
+    further train_step must both work on it (donation invalidates only
+    the consumed input buffers)."""
+    tr, s, pipe = _fit_setup(steps_per_dispatch=2)
+    seen = []
+
+    def hook(state, epoch):
+        out = tr.predict(state, pipe(jax.random.key(9))["lr"])
+        seen.append((epoch, int(state.step), float(np.asarray(out).mean())))
+
+    s = tr.fit(s, pipe, num_epochs=2, steps_per_epoch=4, eval_hook=hook)
+    assert [e for e, _, _ in seen] == [0, 1]
+    assert [st for _, st, _ in seen] == [4, 8]
+    assert all(np.isfinite(v) for _, _, v in seen)
+    # the returned state is still trainable
+    s2, m = tr.train_step(s, pipe(jax.random.key(10)))
+    assert np.isfinite(float(m["loss"]))
