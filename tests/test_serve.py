@@ -388,5 +388,189 @@ def test_serve_model_mode_self_ensemble(espcn_params):
         Image.open(io.BytesIO(plain_service.upscale_bytes(_png_bytes(img)))))
     assert (ens != plain).any()  # a different (averaged) image
 
-    with pytest.raises(ValueError, match="self_ensemble"):
-        SRService(artifact="whatever.hloart", self_ensemble=True)
+
+def test_serve_artifact_self_ensemble(tmp_path, espcn_params):
+    """The '+' mode in artifact serving (VERDICT r3 next #4): an
+    ensemble-baked bundle round-trips over HTTP and equals model-mode
+    --self_ensemble; a plain artifact served with --self_ensemble
+    (serve-time D4 wrap of the lowered program) matches the baked one."""
+    from PIL import Image
+
+    from sr.export import export_bundle, export_predict, save_artifact, \
+        save_bundle
+
+    img = np.random.default_rng(5).integers(0, 255, (8, 8, 3), np.uint8)
+    png = _png_bytes(img)
+
+    # model-mode reference (f32 so artifact/model compute dtypes match)
+    model_svc = SRService(model_name="ESPCN", params=espcn_params,
+                          scale_factor=4, num_channels=1, fused=False,
+                          self_ensemble=True)
+    ref = np.asarray(Image.open(io.BytesIO(model_svc.upscale_bytes(png))))
+
+    # baked-in '+': exported program runs all 8 forwards
+    meta, exports = export_bundle(
+        "ESPCN", espcn_params, scale_factor=4, num_channels=1,
+        dtype="float32", lr_sizes=(8,), self_ensemble=True)
+    assert meta["self_ensemble"] is True
+    baked = str(tmp_path / "espcn_plus.srbundle")
+    save_bundle(baked, meta, exports)
+    svc = SRService(artifact=baked)
+    assert svc.info()["self_ensemble"] is True
+    httpd, port = serve_background(svc)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/upscale", body=png)
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        baked_out = np.asarray(Image.open(io.BytesIO(resp.read())))
+    finally:
+        httpd.shutdown()
+    assert baked_out.shape == ref.shape == (32, 32, 3)
+    # model mode defaults to bf16 while the artifact is f32; the D4
+    # average narrows the gap — allow one u8 step
+    assert np.abs(baked_out.astype(int) - ref.astype(int)).max() <= 1
+
+    # serve-time wrap: plain single artifact + --self_ensemble
+    exp = export_predict("ESPCN", espcn_params, scale_factor=4,
+                         num_channels=1, dtype="float32", lr_size=8)
+    plain = str(tmp_path / "espcn_plain.hloart")
+    save_artifact(plain, exp)
+    svc2 = SRService(artifact=plain, scale_factor=4, self_ensemble=True)
+    wrapped_out = np.asarray(
+        Image.open(io.BytesIO(svc2.upscale_bytes(png))))
+    # same math, but the baked program is one fused XLA trace while the
+    # wrap reuses the single-forward program 8x — allow ULP->u8 wiggle
+    assert np.abs(wrapped_out.astype(int) - baked_out.astype(int)).max() <= 1
+
+
+def test_serve_overload_shedding(espcn_params):
+    """Bounded serving under load (VERDICT r3 weak #3): max_inflight
+    admission control sheds excess concurrent requests with 429, an
+    oversized body gets 413, successful responses stay correct, the
+    observed concurrency never exceeds the bound, and /metrics exposes
+    shed_total/inflight."""
+    import threading
+
+    service = SRService(model_name="ESPCN", params=espcn_params,
+                        scale_factor=4, num_channels=1, fused=False,
+                        max_inflight=2)
+    # deterministic overload: make each inference slow and track the
+    # true concurrency through the admission gate
+    orig = service.upscale_bytes
+    peak = {"now": 0, "max": 0}
+    peak_lock = threading.Lock()
+
+    def slow_upscale(data):
+        with peak_lock:
+            peak["now"] += 1
+            peak["max"] = max(peak["max"], peak["now"])
+        try:
+            time.sleep(0.4)
+            return orig(data)
+        finally:
+            with peak_lock:
+                peak["now"] -= 1
+
+    service.upscale_bytes = slow_upscale
+    httpd, port = serve_background(service)
+    rng = np.random.default_rng(7)
+    sizes = [(16, 12), (8, 8), (12, 16), (16, 16), (8, 12), (12, 8),
+             (16, 8), (8, 16)]
+    results = [None] * len(sizes)
+
+    def post(i):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        img = rng.integers(0, 255, (*sizes[i], 3), np.uint8)
+        conn.request("POST", "/upscale", body=_png_bytes(img))
+        resp = conn.getresponse()
+        results[i] = (resp.status, resp.read())
+        conn.close()
+
+    try:
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(len(sizes))]
+        for t in threads:
+            t.start()
+
+        # one hostile client: declares a >64MB body, sends ~1KB
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.putrequest("POST", "/upscale")
+        conn.putheader("Content-Length", str(100 << 20))
+        conn.endheaders()
+        conn.send(b"x" * 1024)
+        conn.sock.shutdown(1)  # half-close: server's drain sees EOF
+        resp = conn.getresponse()
+        assert resp.status == 413, resp.read()
+        conn.close()
+
+        for t in threads:
+            t.join(timeout=120)
+        statuses = [r[0] for r in results]
+        ok = [i for i, s in enumerate(statuses) if s == 200]
+        shed = [i for i, s in enumerate(statuses) if s == 429]
+        assert len(ok) + len(shed) == len(sizes), statuses
+        assert shed, "expected at least one 429 with 8 clients vs bound 2"
+        assert ok, "expected at least one success under shedding"
+        from PIL import Image
+
+        for i in ok:
+            out = np.asarray(Image.open(io.BytesIO(results[i][1])))
+            assert out.shape == (sizes[i][0] * 4, sizes[i][1] * 4, 3)
+        for i in shed:
+            assert b"overloaded" in results[i][1]
+        assert peak["max"] <= 2, peak  # the bound actually bounds
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/metrics")
+        snap = json.loads(conn.getresponse().read())
+        assert snap["shed_total"] == len(shed)
+        assert snap["errors_total"] == 0
+        assert snap["inflight"] == 0
+        assert snap["latency_ms"]["p99"] > 0
+        conn.request("GET", "/info")
+        info = json.loads(conn.getresponse().read())
+        assert info["limits"]["max_inflight"] == 2
+        assert info["limits"]["max_body_bytes"] == 64 << 20
+    finally:
+        httpd.shutdown()
+
+
+def test_micro_batcher_queue_bound():
+    """A full per-bucket queue sheds with Overloaded instead of growing
+    host memory without limit."""
+    import threading
+
+    from sr.serve import MicroBatcher, Overloaded
+
+    mb = MicroBatcher(max_batch=8, linger_s=0.5, max_queue=2)
+    release = threading.Event()
+
+    def fn(x):
+        release.wait(timeout=30)
+        return x
+
+    results = {}
+
+    def req(i):
+        x = np.full((1, 2, 2, 1), float(i), np.float32)
+        try:
+            results[i] = mb.run("k", fn, x)
+        except Overloaded as e:
+            results[i] = e
+
+    t0 = threading.Thread(target=req, args=(0,))
+    t0.start()
+    time.sleep(0.05)  # leader enqueued, lingering
+    t1 = threading.Thread(target=req, args=(1,))
+    t1.start()
+    time.sleep(0.05)
+    # queue now holds 2 (== max_queue): the third is shed immediately
+    req(2)
+    assert isinstance(results[2], Overloaded)
+    release.set()
+    t0.join(timeout=30)
+    t1.join(timeout=30)
+    assert isinstance(results[0], np.ndarray)
+    assert isinstance(results[1], np.ndarray)
+    assert mb.queue_depth() == 0
