@@ -145,12 +145,19 @@ def get_training_set(
     paths: list[str] = []
     for name in datasets:
         lname = name.lower()
-        if lname == "synthetic":
+        if lname in ("synthetic", "procedural"):
             if len(datasets) > 1:
                 raise ValueError(
-                    "'synthetic' is a standalone dataset and cannot be "
+                    f"'{lname}' is a standalone dataset and cannot be "
                     f"concatenated with {[d for d in datasets if d != name]}"
                 )
+            if lname == "procedural":
+                from sr.data.procedural import ProceduralDataset
+
+                # the non-saturating benchmark corpus (VERDICT r3 #1):
+                # structured high-frequency content, no noise floor
+                return ProceduralDataset(num_images=512, size=(384, 384),
+                                         seed=0, split="train")
             return SyntheticDataset(num_images=32, size=(160, 160), seed=0)
         if lname == "bsds300":
             root = download_bsds300(data_dir)
@@ -175,6 +182,12 @@ def get_test_set(
     lname = dataset.lower()
     if lname == "synthetic":
         return SyntheticDataset(num_images=5, size=(128, 128), seed=7)
+    if lname == "procedural":
+        from sr.data.procedural import ProceduralDataset
+
+        # 128 held-out images, disjoint PRNG stream from the train split
+        return ProceduralDataset(num_images=128, size=(384, 384),
+                                 seed=0, split="test")
     if lname == "bsds300":
         root = download_bsds300(data_dir)
         return FolderDataset(list_images(os.path.join(root, "test")), color_space)

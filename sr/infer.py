@@ -172,6 +172,7 @@ def upscale(
         output_u8 and not self_ensemble,
         calib_headroom,
     )
+    base_fn = fn
     if self_ensemble:
         from sr.eval.ensemble import make_self_ensemble_predict
 
@@ -209,6 +210,25 @@ def upscale(
             model_in, 3, axis=2
         )
     x = net_in.astype(np.float32)[None] / 255.0
+
+    if self_ensemble and quantize == "static" and hasattr(base_fn,
+                                                          "calibrate"):
+        # the lazy first-call calibration would see only the identity
+        # member: rotated/flipped members' activation ranges can exceed
+        # it and clip past the headroom (ADVICE r3). Calibrate on all 8
+        # D4 variants up front (no-op if the cached fn is calibrated).
+        # A tiled image calibrates on a tile-sized center crop — same
+        # footprint as the forwards the tiled path will run.
+        from sr.eval.ensemble import TRANSFORMS, transform
+
+        cal = x
+        if tile is not None and max(x.shape[1], x.shape[2]) > tile:
+            ch = min(tile, x.shape[1])
+            cw = min(tile, x.shape[2])
+            top = (x.shape[1] - ch) // 2
+            left = (x.shape[2] - cw) // 2
+            cal = x[:, top:top + ch, left:left + cw]
+        base_fn.calibrate([transform(cal, f, k) for f, k in TRANSFORMS])
 
     halo = RECEPTIVE_FIELD.get(model_name.lower(), 48)
     if tile is not None and max(x.shape[1], x.shape[2]) > tile:

@@ -167,7 +167,7 @@ def make_fused_tail_predict_quant(model, variables, support: int = 7,
     Interior-exact up to the int8 grid; same border-band caveat as
     ``make_fused_tail_predict``.
     """
-    from sr.quant import _EPS, calibrate_scales, quantized_apply
+    from sr.quant import _EPS, quantized_apply
 
     r = model.scale_factor
     model_f32 = model.clone(dtype=jnp.float32)
@@ -211,29 +211,35 @@ def make_fused_tail_predict_quant(model, variables, support: int = 7,
         if "fn" not in state:
             with lock:
                 if "fn" not in state:
-                    state["fn"] = _build(x)
+                    state["fn"] = _build([x])
         return state["fn"](x)
 
-    def _build(x):
-        if calib_batches is not None:  # corpus calibration (RESULTS.md)
-            from sr.quant import calibrate_scales_batches
+    def calibrate(batches) -> None:
+        """Eagerly calibrate on an iterable of batches (no-op once
+        calibrated) — see sr.quant.make_quantized_predict.calibrate."""
+        with lock:
+            if "fn" not in state:
+                state["fn"] = _build(list(batches))
 
-            scales = calibrate_scales_batches(
-                model, variables, calib_batches,
-                headroom=calib_headroom, train=False)
-        else:
-            scales = calibrate_scales(model, variables, x,
-                                      headroom=calib_headroom,
-                                      train=False)
+    predict.calibrate = calibrate
+
+    def _build(calib):
+        if calib_batches is not None:  # corpus calibration (RESULTS.md)
+            calib = list(calib_batches)
+        from sr.quant import calibrate_scales_batches
+
+        scales = calibrate_scales_batches(
+            model, variables, calib, headroom=calib_headroom,
+            train=False)
         site = _first_tail_conv_site()
         if site is not None and site in scales:
             s_h = scales[site]  # body output == first tail conv input
-        else:  # fallback: one extra jitted body forward
-            h_cal = jax.jit(lambda z: model.apply(
-                variables, z, train=False, method="body"))(x)
+        else:  # fallback: one extra jitted body forward per calib batch
+            body = jax.jit(lambda z: jnp.max(jnp.abs(model.apply(
+                variables, z, train=False, method="body"
+            ).astype(jnp.float32))))
             s_h = max(
-                float(jnp.max(jnp.abs(h_cal.astype(jnp.float32))))
-                / 127.0, _EPS)
+                max(float(body(z)) for z in calib) / 127.0, _EPS)
         if np.ndim(s_h) == 1:  # per-channel: fold into K (see int8_conv)
             s_h = np.maximum(s_h, _EPS)
             Kf = K * np.asarray(s_h)[None, None, :, None]

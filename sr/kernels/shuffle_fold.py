@@ -191,7 +191,7 @@ def make_folded_tail_predict_quant(model, variables,
     scale transfers unchanged. Calibration happens lazily on the first
     batch, like ``make_quantized_predict(mode="static")``.
     """
-    from sr.quant import (_EPS, calibrate_scales, quantize_activation,
+    from sr.quant import (_EPS, quantize_activation,
                           quantize_activation_static, quantize_kernel,
                           quantized_apply)
 
@@ -234,17 +234,14 @@ def make_folded_tail_predict_quant(model, variables,
     state: dict = {}
     lock = threading.Lock()  # sr.serve serves from handler threads
 
-    def _build(x):
+    def _build(calib):
         if calib_batches is not None:  # corpus calibration (RESULTS.md)
-            from sr.quant import calibrate_scales_batches
+            calib = list(calib_batches)
+        from sr.quant import calibrate_scales_batches
 
-            scales = calibrate_scales_batches(
-                model, variables, calib_batches,
-                headroom=calib_headroom, train=False)
-        else:
-            scales = calibrate_scales(model, variables, x,
-                                      headroom=calib_headroom,
-                                      train=False)
+        scales = calibrate_scales_batches(
+            model, variables, calib, headroom=calib_headroom,
+            train=False)
 
         def prep(kern, s_x):
             """Quantize one hand-run conv for its calibrated input scale:
@@ -317,9 +314,17 @@ def make_folded_tail_predict_quant(model, variables,
         if "fn" not in state:
             with lock:
                 if "fn" not in state:
-                    state["fn"] = _build(x)
+                    state["fn"] = _build([x])
         return state["fn"](x)
 
+    def calibrate(batches) -> None:
+        """Eagerly calibrate on an iterable of batches (no-op once
+        calibrated) — see sr.quant.make_quantized_predict.calibrate."""
+        with lock:
+            if "fn" not in state:
+                state["fn"] = _build(list(batches))
+
+    predict.calibrate = calibrate
     return predict
 
 

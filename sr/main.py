@@ -306,7 +306,7 @@ def main(argv=None) -> int:
         # wraps BELOW run_eval's static tiling: per-tile D4 ensemble is
         # exact for the ensemble operator (sr/eval/ensemble.py docstring)
         predict = make_self_ensemble_predict(predict)
-        print("[eval] geometric self-ensemble on (8 forwards/image)")
+        print("[eval] geometric self-ensemble enabled (8 forwards per image)")
     summary = run_eval(cfg, spec, predict, run_dir, log=print, fast=fast_eval)
     if self_ensemble:
         summary["self_ensemble"] = True

@@ -381,4 +381,16 @@ def make_quantized_predict(model: nn.Module, variables: dict,
                         train=False))
         return state["fn"](x)
 
+    def calibrate(batches) -> None:
+        """Eagerly calibrate on an iterable of batches (no-op once
+        calibrated) — lets wrappers that feed TRANSFORMED inputs
+        (e.g. the D4 self-ensemble) cover all variants' activation
+        ranges instead of just the first call's (ADVICE r3)."""
+        with lock:
+            if "fn" not in state:
+                state["fn"] = _make(calibrate_scales_batches(
+                    model, variables, batches, headroom=calib_headroom,
+                    train=False))
+
+    predict.calibrate = calibrate
     return predict
