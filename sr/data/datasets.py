@@ -156,8 +156,10 @@ def get_training_set(
 
                 # the non-saturating benchmark corpus (VERDICT r3 #1):
                 # structured high-frequency content, no noise floor
-                return ProceduralDataset(num_images=512, size=(384, 384),
-                                         seed=0, split="train")
+                return ProceduralDataset(
+                    num_images=512, size=(384, 384), seed=0,
+                    split="train", color_space=color_space,
+                ).materialize(os.path.join(data_dir, "procedural_cache"))
             return SyntheticDataset(num_images=32, size=(160, 160), seed=0)
         if lname == "bsds300":
             root = download_bsds300(data_dir)
@@ -186,8 +188,10 @@ def get_test_set(
         from sr.data.procedural import ProceduralDataset
 
         # 128 held-out images, disjoint PRNG stream from the train split
-        return ProceduralDataset(num_images=128, size=(384, 384),
-                                 seed=0, split="test")
+        return ProceduralDataset(
+            num_images=128, size=(384, 384), seed=0, split="test",
+            color_space=color_space,
+        ).materialize(os.path.join(data_dir, "procedural_cache"))
     if lname == "bsds300":
         root = download_bsds300(data_dir)
         return FolderDataset(list_images(os.path.join(root, "test")), color_space)

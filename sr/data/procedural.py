@@ -234,18 +234,23 @@ class ProceduralDataset:
     ``split`` ('train'/'test') salts the PRNG stream so the two splits
     are disjoint even at the same ``seed``; image ``i`` depends only on
     ``(seed, split, i)``, never on ``num_images`` — growing the corpus
-    keeps every existing image bit-identical.
+    keeps every existing image bit-identical. ``color_space`` mirrors
+    FolderDataset: images generate as RGB and convert through PIL's
+    YCbCr (the reference's eval convention) when asked, so Y-channel
+    models train/eval on real luma, exactly like on disk corpora.
     """
 
     num_images: int = 128
     size: tuple[int, int] = (384, 384)
-    channels: int = 3
+    color_space: str = "rgb"
     seed: int = 0
     split: str = "train"
 
     def __post_init__(self):
         if self.split not in _SPLIT_SALT:
             raise ValueError(f"split must be train/test, got {self.split!r}")
+        if self.color_space not in ("rgb", "ycbcr"):
+            raise ValueError(f"unknown color_space {self.color_space!r}")
         self._cache: dict[int, np.ndarray] = {}
 
     def __len__(self) -> int:
@@ -258,13 +263,11 @@ class ProceduralDataset:
                     [self.seed, _SPLIT_SALT[self.split], i]))
             h, w = self.size
             img = generate_procedural_image(rng, h, w)
-            if self.channels == 1:
-                # ITU-R BT.601 luma, matching sr.eval.metrics.rgb_to_ycbcr
-                f = img.astype(np.float32)
-                y = (0.299 * f[..., 0] + 0.587 * f[..., 1]
-                     + 0.114 * f[..., 2])
-                img = np.clip(np.round(y), 0, 255).astype(
-                    np.uint8)[..., None]
+            if self.color_space == "ycbcr":
+                from PIL import Image
+
+                img = np.asarray(
+                    Image.fromarray(img).convert("YCbCr"), np.uint8)
             self._cache[i] = img
         return self._cache[i]
 
@@ -272,3 +275,36 @@ class ProceduralDataset:
     def names(self) -> list[str]:
         return [f"procedural_{self.split}_{i:03d}"
                 for i in range(self.num_images)]
+
+    def materialize(self, cache_dir: str | None) -> "ProceduralDataset":
+        """Generate (or load) the whole corpus up front.
+
+        Generation costs ~0.5 s/image; a 512-image training corpus is
+        ~4 min of host work per process without a cache. With
+        ``cache_dir`` the stacked uint8 corpus persists as one .npz
+        (content is a pure function of the key, so the cache can never
+        go stale). Unwritable/absent dirs degrade to in-memory
+        generation. Returns self for chaining.
+        """
+        import os
+
+        h, w = self.size
+        path = None
+        if cache_dir:
+            key = (f"procedural_{self.split}_s{self.seed}_{h}x{w}_"
+                   f"{self.color_space}_n{self.num_images}.npz")
+            path = os.path.join(cache_dir, key)
+            if os.path.exists(path):
+                stack = np.load(path)["images"]
+                self._cache = {i: stack[i] for i in range(len(stack))}
+                return self
+        stack = np.stack([self[i] for i in range(self.num_images)])
+        if path is not None:
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                tmp = path + ".tmp.npz"  # atomic publish via rename
+                np.savez(tmp, images=stack)
+                os.replace(tmp, path)
+            except OSError as e:
+                print(f"[procedural] cache write skipped: {e}")
+        return self

@@ -141,8 +141,10 @@ def run_eval(cfg: SRConfig, spec, predict_fn, out_dir: str, log=print,
     color = "rgb" if cfg.num_channels == 3 else "ycbcr"
     test_set = get_test_set(cfg.data_dir, cfg.test_dataset, color)
     # real datasets have a distinct size per image — bucket them into one
-    # static tiled shape (synthetic is fixed-size; direct forward is fine)
-    static = cfg.test_dataset.lower() != "synthetic"
+    # static tiled shape (synthetic/procedural are fixed-size; direct
+    # forward is fine). SyntheticDataset emits RGB regardless of the
+    # model's color space; procedural honors `color` like FolderDataset.
+    static = cfg.test_dataset.lower() not in ("synthetic", "procedural")
     res = evaluate(
         predict_fn, test_set, cfg.scale_factor, channels=cfg.num_channels,
         pre_upsample=spec.pre_upsample, dataset_name=cfg.test_dataset,
