@@ -38,7 +38,18 @@ def _state_to_tree(state: SRTrainState) -> dict:
 def _tree_to_state(tree: dict, like: SRTrainState) -> SRTrainState:
     rng = like.rng
     if "rng_data" in tree and like.rng is not None:
-        rng = jax.random.wrap_key_data(jnp.asarray(tree["rng_data"]))
+        data = np.asarray(tree["rng_data"])
+        # match the template's (mesh-replicated) placement: a bare
+        # jnp.asarray is a host-LOCAL single-device array, which a
+        # multi-process run cannot re-serialize at the next save
+        # (found by tests/test_multihost.py kill/resume).
+        # make_array_from_process_local_data assembles the GLOBAL
+        # replicated array from identical per-process values —
+        # device_put cannot target non-addressable shardings.
+        if hasattr(like.rng, "sharding"):
+            data = jax.make_array_from_process_local_data(
+                like.rng.sharding, data)
+        rng = jax.random.wrap_key_data(jnp.asarray(data))
     return like.replace(
         params=tree["params"],
         opt_state=tree["opt_state"],
@@ -133,6 +144,11 @@ class Checkpointer:
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
+
+    def wait(self) -> None:
+        """Block until async saves are durably on disk (e.g. before a
+        test deliberately kills the process)."""
+        self._mgr.wait_until_finished()
 
     def restore(self, like: SRTrainState, step: int | None = None) -> SRTrainState | None:
         """Restore into the structure of ``like``; None if no checkpoint."""
