@@ -25,9 +25,10 @@ Mechanism: ``flax.linen.intercept_methods`` swaps every ``nn.Conv``
 call for the int8 path *without touching any model code* — one
 interceptor covers the whole zoo (SRCNN/VDSR/DRCN/ESPCN/EDSR/SRResNet/
 SRGAN generators are pure-Conv). ``nn.ConvTranspose`` (FSRCNN's deconv,
-LapSRN's pyramid) passes through in the compute dtype: deconvs are a
-tiny FLOP share and their scatter lowering does not hit the int8 MXU
-path, so quantizing them buys nothing.
+LapSRN's pyramid) passes through in the compute dtype BY DEFAULT;
+``quantize_deconv=True`` opts eligible deconv sites into the same int8
+contract (``int8_deconv`` — measured in PERF.md "deconv int8" before
+any default change).
 
 Quality: dynamic per-tensor activation + per-channel weight int8 cost
 a trained ESPCN 0.007 dB on its eval batch (measured; see PERF.md and
@@ -147,6 +148,28 @@ def _eligible(m, args) -> bool:
     )
 
 
+def _eligible_deconv(m, args) -> bool:
+    """nn.ConvTranspose sites the int8 path covers (FSRCNN's 9x9/s4
+    deconv, LapSRN's 4x4/s2 pyramid deconvs): square kernel, no
+    dilation, SAME/VALID or explicit-pair padding (DeconvBlock's
+    torch-exact geometry uses pairs), default kernel orientation."""
+    if not (type(m) is nn.ConvTranspose
+            and len(args) == 1
+            and getattr(args[0], "ndim", 0) == 4
+            and _as_pair(m.kernel_size)[0] == _as_pair(m.kernel_size)[1]
+            and (m.kernel_dilation in (1, None) or
+                 _as_pair(m.kernel_dilation) == (1, 1))
+            and not m.transpose_kernel):
+        return False
+    if isinstance(m.padding, str):
+        return m.padding in ("SAME", "VALID")
+    try:
+        tuple(_as_pair(p) for p in m.padding)
+        return True
+    except TypeError:
+        return False
+
+
 def calibrate_scales(model: nn.Module, variables: dict, x: jax.Array,
                      headroom: float = 1.0, per_channel: bool = True,
                      **apply_kwargs) -> dict[str, Any]:
@@ -176,7 +199,8 @@ def calibrate_scales(model: nn.Module, variables: dict, x: jax.Array,
 
         def interceptor(next_fun, args, kwargs, context):
             m = context.module
-            if (_eligible(m, args) and context.method_name == "__call__"
+            if ((_eligible(m, args) or _eligible_deconv(m, args))
+                    and context.method_name == "__call__"
                     and getattr(args[0], "_trace", None) is outer_trace):
                 a32 = jnp.abs(args[0].astype(jnp.float32))
                 if per_channel:
@@ -297,14 +321,53 @@ def int8_conv(x: jax.Array, m: nn.Conv,
     return y.astype(x.dtype)
 
 
+def int8_deconv(x: jax.Array, m: nn.ConvTranspose,
+                static_scale=None) -> jax.Array:
+    """Run a bound ``nn.ConvTranspose`` as s8 x s8 -> s32 + f32 rescale
+    (``lax.conv_transpose`` keeps the module's exact geometry). Same
+    scale contract as :func:`int8_conv`: per-input-channel vectors fold
+    into the weight quantization; None = dynamic per-sample."""
+    params = m.variables["params"]
+    kernel = params["kernel"]
+    if static_scale is not None and np.ndim(static_scale) == 1:
+        s_c = jnp.asarray(np.maximum(static_scale, _EPS), jnp.float32)
+        kernel = kernel.astype(jnp.float32) * s_c[None, None, :, None]
+        q_w, s_w = quantize_kernel(kernel)
+        q_x, _ = quantize_activation_static(x, s_c)
+        s_x = jnp.float32(1.0)  # absorbed into the folded weights
+    else:
+        q_w, s_w = quantize_kernel(kernel)
+        if static_scale is not None:
+            q_x, s_x = quantize_activation_static(x, static_scale)
+        else:
+            q_x, s_x = quantize_activation(x)
+    padding = (m.padding if isinstance(m.padding, str)
+               else tuple(_as_pair(p) for p in m.padding))
+    y = lax.conv_transpose(
+        q_x, q_w, strides=_as_pair(m.strides or 1), padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        transpose_kernel=False,
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * (s_x * s_w)
+    if m.use_bias:
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def _make_interceptor(scales: dict[str, float] | None,
-                      conv_backend: str = "xla"):
+                      conv_backend: str = "xla",
+                      quantize_deconv: bool = False):
     def interceptor(next_fun, args, kwargs, context):
         m = context.module
         if _eligible(m, args) and context.method_name == "__call__":
             s = scales.get(_site_key(m)) if scales is not None else None
             return int8_conv(args[0], m, static_scale=s,
                              conv_backend=conv_backend)
+        if (quantize_deconv and _eligible_deconv(m, args)
+                and context.method_name == "__call__"):
+            s = scales.get(_site_key(m)) if scales is not None else None
+            return int8_deconv(args[0], m, static_scale=s)
         return next_fun(*args, **kwargs)
 
     return interceptor
@@ -313,14 +376,19 @@ def _make_interceptor(scales: dict[str, float] | None,
 def quantized_apply(model: nn.Module, variables: dict, x: jax.Array,
                     scales: dict[str, float] | None = None,
                     conv_backend: str = "xla",
+                    quantize_deconv: bool = False,
                     **apply_kwargs) -> Any:
     """``model.apply`` with every eligible ``nn.Conv`` running int8.
 
     ``scales``: per-site static activation scales from
     ``calibrate_scales``; sites absent from the dict use the dynamic
     per-sample scale (None = fully dynamic). ``conv_backend``: see
-    :func:`int8_conv`."""
-    with nn.intercept_methods(_make_interceptor(scales, conv_backend)):
+    :func:`int8_conv`. ``quantize_deconv``: also run eligible
+    ``nn.ConvTranspose`` sites (FSRCNN/LapSRN tails) as int8 — opt-in
+    pending a measured win (VERDICT r3 next #8; default path passes
+    deconvs through in the compute dtype)."""
+    with nn.intercept_methods(
+            _make_interceptor(scales, conv_backend, quantize_deconv)):
         return model.apply(variables, x, **apply_kwargs)
 
 
@@ -328,7 +396,8 @@ def make_quantized_predict(model: nn.Module, variables: dict,
                            mode: str = "dynamic",
                            calib_headroom: float = 1.0,
                            output_u8: bool = False,
-                           calib_batches=None):
+                           calib_batches=None,
+                           quantize_deconv: bool = False):
     """Jitted serving forward with int8 convs. ``variables`` are closed
     over, so XLA folds the weight quantization at compile time and the
     executable carries int8 weight literals.
@@ -355,8 +424,9 @@ def make_quantized_predict(model: nn.Module, variables: dict,
     post = to_u8 if output_u8 else (lambda y: y)
     if mode == "dynamic":
         return jax.jit(
-            lambda x: post(quantized_apply(model, variables, x,
-                                           train=False))
+            lambda x: post(quantized_apply(
+                model, variables, x, quantize_deconv=quantize_deconv,
+                train=False))
         )
 
     state: dict[str, Any] = {}
@@ -364,8 +434,9 @@ def make_quantized_predict(model: nn.Module, variables: dict,
 
     def _make(scales):
         return jax.jit(
-            lambda x: post(quantized_apply(model, variables, x,
-                                           scales=scales, train=False)))
+            lambda x: post(quantized_apply(
+                model, variables, x, scales=scales,
+                quantize_deconv=quantize_deconv, train=False)))
 
     if calib_batches is not None:
         state["fn"] = _make(calibrate_scales_batches(
