@@ -24,7 +24,8 @@ import numpy as np
 def run_one(name: str, steps: int, train_ds: str, test_ds: str,
             spd: int = 1, corpus: int = 0, vgg: str | None = None,
             scale_factor: int = 4, quant_eval: bool = False,
-            crop: int = 0, ensemble_eval: bool = False) -> dict:
+            crop: int = 0, ensemble_eval: bool = False,
+            overrides: dict | None = None) -> dict:
     from sr.data.datasets import get_training_set
     from sr.data.pipeline import build_patch_pipeline
     from sr.eval.runner import evaluate
@@ -46,6 +47,7 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
         # phi_22 keeps random/synthetic towers numerically alive (deep
         # random towers decay to ~0 features); real weights work at either
         vgg_output_layer="relu2_2" if vgg else "relu5_4",
+        **(overrides or {}),  # paper-scale topology knobs (VERDICT r3 #5)
     )
     if corpus and train_ds == "synthetic":
         from sr.data.datasets import SyntheticDataset
@@ -185,7 +187,18 @@ def main():
     p.add_argument("--crop", type=int, default=0,
                    help="HR crop size (0 = 64; use 128+ at x8 so the "
                         "LR crop keeps enough context)")
+    # paper-scale topology overrides (VERDICT r3 #5: DRCN base_filter
+    # 256, EDSR 32x256 with res_scale 0.1)
+    p.add_argument("--base_filter", type=int, default=None)
+    p.add_argument("--num_resblocks", type=int, default=None)
+    p.add_argument("--res_scale", type=float, default=None)
+    p.add_argument("--num_recursions", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
     a = p.parse_args()
+    overrides = {k: getattr(a, k) for k in
+                 ("base_filter", "num_resblocks", "res_scale",
+                  "num_recursions", "lr")
+                 if getattr(a, k) is not None}
 
     from sr.models.registry import available_models
 
@@ -196,7 +209,8 @@ def main():
             results.append(
                 run_one(name, a.steps, a.train_dataset, a.test_dataset,
                         a.spd, a.corpus, a.vgg, a.scale_factor,
-                        a.quant_eval, a.crop, a.ensemble_eval)
+                        a.quant_eval, a.crop, a.ensemble_eval,
+                        overrides or None)
             )
         except Exception as e:  # noqa: BLE001
             print(f"[zoo] {name} FAILED: {e}", file=sys.stderr, flush=True)
