@@ -14,7 +14,9 @@ run() { # run <name> <timeout_s> <cmd...>
   echo "--- rc=$? tail:"; tail -3 "/tmp/r4/$name.log"
 }
 
-for stage in "${@:-edsr150k zoo20k deconv paperscale bench}"; do
+stages=("$@")
+[ ${#stages[@]} -eq 0 ] && stages=(edsr150k zoo20k deconv paperscale bench)
+for stage in "${stages[@]}"; do
 case $stage in
 edsr150k)
   run edsr150k 7200 python scripts/train_zoo.py --steps 150000 --spd 100 \

@@ -44,6 +44,10 @@ import numpy as np
 # user passes the same seed
 _SPLIT_SALT = {"train": 0x5EED, "test": 0x7E57}
 
+# bump on ANY change to the generation code — it keys the on-disk corpus
+# cache (a stale cache would silently serve the old benchmark)
+GEN_VERSION = 2
+
 
 def _bilinear_upsample(grid: np.ndarray, h: int, w: int) -> np.ndarray:
     """(gh, gw) -> (h, w) bilinear, endpoints aligned to image corners."""
@@ -95,13 +99,21 @@ def _fill(rng: np.random.Generator, yy: np.ndarray, xx: np.ndarray,
         t = (np.cos(ang) * xx + np.sin(ang) * yy)
         t = (t - t.min()) / max(float(np.ptp(t)), 1e-9)
         return color * (1 - t[..., None]) + c2 * t[..., None]
-    # oriented grating — the learnable high-frequency texture
-    freq = rng.uniform(0.04, 0.45)  # cycles/px, up to near-Nyquist
+    # oriented grating — learnable texture. Frequencies stay mostly
+    # below the x4-recoverable band (LR Nyquist = 0.125 cycles/HR-px):
+    # content above it aliases away under downsampling and acts as
+    # structured NOISE, capping PSNR for every model equally (measured:
+    # a 0.45 cycles/px ceiling left EDSR only +0.39 dB over bicubic).
+    # A small tail above keeps some genuinely hard texture.
+    if rng.uniform() < 0.8:
+        freq = rng.uniform(0.02, 0.11)
+    else:
+        freq = rng.uniform(0.11, 0.25)
     ang = rng.uniform(0, 2 * np.pi)
     phase = rng.uniform(0, 2 * np.pi)
     wave = np.sin(2 * np.pi * freq * (np.cos(ang) * xx + np.sin(ang) * yy)
                   + phase)
-    if kind == 3:  # square wave (bar/checker texture): harder edges
+    if kind == 3:  # square wave (bar texture): sharp, learnable edges
         wave = np.tanh(6.0 * wave)
     c2 = rng.uniform(0, 255, size=3)
     t = (wave[..., None] + 1) / 2
@@ -213,14 +225,17 @@ def generate_procedural_image(rng: np.random.Generator, h: int,
     # correlated-RGB background: one luminance field + two LOW-octave
     # chroma fields (natural images carry most color variation at low
     # frequency)
-    lum = _value_noise(rng, h, w, octaves=6)
+    # octaves capped at 4 (coarsest feature ~6 px at 384): finer noise
+    # octaves are below the x4-recoverable band and would act as an
+    # un-learnable PSNR floor (see _fill's frequency note)
+    lum = _value_noise(rng, h, w, octaves=4)
     c1 = _value_noise(rng, h, w, octaves=3)
     c2 = _value_noise(rng, h, w, octaves=3)
     base = 128.0 + 52.0 * lum
     canvas = np.stack([base + 26.0 * c1,
                        base - 13.0 * c1 + 22.0 * c2,
                        base - 26.0 * c2], axis=-1)
-    n_shapes = rng.integers(24, 56)
+    n_shapes = rng.integers(40, 90)  # edge-dense: where SR models win
     for _ in range(n_shapes):
         _draw_shape(rng, canvas)
     _draw_glyph_rows(rng, canvas)
@@ -291,8 +306,8 @@ class ProceduralDataset:
         h, w = self.size
         path = None
         if cache_dir:
-            key = (f"procedural_{self.split}_s{self.seed}_{h}x{w}_"
-                   f"{self.color_space}_n{self.num_images}.npz")
+            key = (f"procedural_v{GEN_VERSION}_{self.split}_s{self.seed}_"
+                   f"{h}x{w}_{self.color_space}_n{self.num_images}.npz")
             path = os.path.join(cache_dir, key)
             if os.path.exists(path):
                 stack = np.load(path)["images"]

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from sr.models.registry import ModelSpec, register
 from sr.nn.blocks import ConvBlock, PSBlock, ResnetBlock
 from sr.train.losses import l1_loss
-from sr.train.optim import adam_with_halving
+from sr.train.optim import adam_with_step_halving
 
 
 _STAGES = {2: (2,), 3: (3,), 4: (2, 2), 8: (2, 2, 2)}
@@ -82,8 +82,12 @@ SPEC = register(
         name="EDSR",
         make_model=_make,
         loss=_loss,
-        make_tx=lambda cfg: adam_with_halving(
-            cfg.effective_lr, cfg.steps_per_epoch, halve_epochs=50
+        # paper: lr halved every 2e5 minibatch updates (cfg knob). The
+        # old 50-epoch interval froze long runs at small spe — measured
+        # on the procedural benchmark: 150k-step EDSR gained only
+        # +0.36 dB over 20k with lr decayed 2^15 by the end
+        make_tx=lambda cfg: adam_with_step_halving(
+            cfg.effective_lr, cfg.lr_halve_steps
         ),
         pre_upsample=False,
         default_channels=3,

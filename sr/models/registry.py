@@ -33,6 +33,9 @@ class ModelSpec:
     is_gan: bool = False
     has_batchnorm: bool = False
     make_discriminator: Callable[[Any], Any] | None = None  # GAN recipes
+    # model exposes every power-of-2 level up to scale_factor via
+    # apply(..., all_scales=True) (LapSRN's pyramid)
+    multi_scale_out: bool = False
 
     def input_key(self) -> str:
         return "bc" if self.pre_upsample else "lr"

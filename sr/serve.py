@@ -191,7 +191,8 @@ class SRService:
                  quantize: bool | str = False,
                  calib_headroom: float = 1.25,
                  self_ensemble: bool = False,
-                 max_inflight: int = 16, max_queue: int = 64):
+                 max_inflight: int = 16, max_queue: int = 64,
+                 net_scale: int | None = None):
         if (artifact is None) == (model_name is None):
             raise ValueError("pass either --artifact or --model_name+--params")
         if quantize and artifact is not None:
@@ -277,7 +278,10 @@ class SRService:
                 raise ValueError("--model_name needs --params")
             self.scale_factor = 4 if scale_factor is None else scale_factor
             self.buckets = None
-            self.net_scale = None  # model mode: sr.infer handles conventions
+            # model mode: sr.infer handles conventions; a pyramid model
+            # trained at net_scale can serve a smaller --scale_factor
+            # from its intermediate level (LapSRN)
+            self.net_scale = net_scale
 
     def info(self) -> dict:
         out = {
@@ -405,7 +409,8 @@ class SRService:
                           num_channels=self.num_channels, fused=self.fused,
                           quantize=self.quantize,
                           calib_headroom=self.calib_headroom,
-                          self_ensemble=self.self_ensemble)
+                          self_ensemble=self.self_ensemble,
+                          net_scale=self.net_scale)
         buf = io.BytesIO()
         Image.fromarray(out).save(buf, format="PNG")
         return buf.getvalue()
@@ -531,6 +536,10 @@ def main(argv=None) -> int:
                         "(default 4); bundles embed it and reject "
                         "contradictions")
     p.add_argument("--num_channels", type=int, default=None)
+    p.add_argument("--net_scale", type=int, default=None,
+                   help="model mode, pyramid models (LapSRN): the scale "
+                        "the checkpoint was trained at — serve a smaller "
+                        "--scale_factor from its intermediate level")
     p.add_argument("--no_fused", action="store_true",
                    help="serve the exact graph instead of the fast tail")
     p.add_argument("--quantize", nargs="?", const="dynamic", default=False,
@@ -574,6 +583,7 @@ def main(argv=None) -> int:
         quantize=a.quantize, calib_headroom=a.calib_headroom,
         self_ensemble=a.self_ensemble,
         max_inflight=a.max_inflight, max_queue=a.max_queue,
+        net_scale=a.net_scale,
     )
     httpd = make_server(service, a.port, a.host)
     print(f"serving {service.info()} on "

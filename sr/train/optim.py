@@ -87,3 +87,15 @@ def adam_with_halving(
     """EDSR recipe: Adam with lr halved every ``halve_epochs``."""
     sched = step_decay_schedule(base_lr, steps_per_epoch, halve_epochs, 0.5)
     return optax.adam(sched)
+
+
+def adam_with_step_halving(
+    base_lr: float, halve_steps: int
+) -> optax.GradientTransformation:
+    """EDSR recipe, paper units: Adam with lr halved every
+    ``halve_steps`` minibatch updates (Lim et al.: 2e5). The epoch-based
+    variant above tied the interval to steps_per_epoch, which over-
+    decayed long runs at small spe (PARITY delta; SRConfig.lr_halve_steps
+    documents the measured failure)."""
+    sched = step_decay_schedule(base_lr, 1, max(halve_steps, 1), 0.5)
+    return optax.adam(sched)

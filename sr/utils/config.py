@@ -45,6 +45,12 @@ class SRConfig:
     num_recursions: int = 16  # DRCN
     num_pyramid_convs: int = 5  # LapSRN feature convs per level
     res_scale: float = 1.0  # EDSR residual scaling
+    # EDSR lr halving interval in STEPS (paper: every 2e5 minibatch
+    # updates). Round-3 and earlier used 50 epochs x steps_per_epoch
+    # (=10k steps at the zoo's spe=200), which decayed lr ~2^15 over a
+    # 150k-step run and silently froze long trainings (found by the
+    # round-4 procedural-benchmark scaling probe).
+    lr_halve_steps: int = 200_000
     # VDSR adjustable-clip θ (update global-norm ≤ θ). The reference
     # recipe's 0.4 sits at the edge of stability and caps VDSR ~1.4 dB
     # below what the same run reaches at 0.05 (measured 4-arm +
