@@ -1,0 +1,33 @@
+#!/bin/bash
+# Round-4 follow-up TPU queue: complete the procedural re-baseline's
+# scale coverage (x3, x8 — x4 and x2 run in tpu_queue_r4.sh). Same
+# one-job-at-a-time rule as tpu_queue_r4.sh.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/r4
+
+run() { # run <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  echo "=== [$(date +%H:%M:%S)] $name ==="
+  timeout "$t" "$@" > "/tmp/r4/$name.log" 2>&1
+  echo "--- rc=$? tail:"; tail -3 "/tmp/r4/$name.log"
+}
+
+stages=("$@")
+[ ${#stages[@]} -eq 0 ] && stages=(zoo_x3 zoo_x8)
+for stage in "${stages[@]}"; do
+case $stage in
+zoo_x3)
+  run zoo_x3 18000 python scripts/train_zoo.py --steps 20000 --spd 100 \
+    --scale_factor 3 --train_dataset procedural --test_dataset procedural \
+    --out /tmp/r4/results_zoo_procedural_x3.json ;;
+zoo_x8)
+  # crop 128 so the LR crop keeps context at x8 (RESULTS r3 finding)
+  run zoo_x8 18000 python scripts/train_zoo.py --steps 20000 --spd 100 \
+    --scale_factor 8 --crop 128 \
+    --train_dataset procedural --test_dataset procedural \
+    --out /tmp/r4/results_zoo_procedural_x8.json ;;
+*) echo "unknown stage $stage" ;;
+esac
+done
+echo "=== queue done ==="

@@ -79,6 +79,10 @@ def run_meta(cfg) -> dict:
         "res_scale": cfg.res_scale,
         "steps_per_epoch": cfg.steps_per_epoch,
         "pretrain_epochs": cfg.pretrain_epochs,
+        # lr schedules are pure functions of the restored opt-state step
+        # count — changing the halving interval between runs silently
+        # shifts a resumed run's lr (same class of bug as steps_per_epoch)
+        "lr_halve_steps": cfg.lr_halve_steps,
     }
 
 
