@@ -15,17 +15,25 @@ run() { # run <name> <timeout_s> <cmd...>
 }
 
 stages=("$@")
-[ ${#stages[@]} -eq 0 ] && stages=(edsr150k zoo20k deconv paperscale bench)
+[ ${#stages[@]} -eq 0 ] && stages=(edsr150k zoo20k deconv paperscale bench profile_train zoo_x2)
 for stage in "${stages[@]}"; do
 case $stage in
 edsr150k)
   run edsr150k 7200 python scripts/train_zoo.py --steps 150000 --spd 100 \
     --models EDSR --train_dataset procedural --test_dataset procedural \
+    --ensemble_eval --quant_eval \
     --out /tmp/r4/results_edsr_150k.json ;;
 zoo20k)
   run zoo20k 18000 python scripts/train_zoo.py --steps 20000 --spd 100 \
     --train_dataset procedural --test_dataset procedural \
+    --ensemble_eval --quant_eval \
     --out /tmp/r4/results_zoo_procedural_20k.json ;;
+profile_train)
+  run profile_train 3600 python scripts/profile_train.py EDSR 20 25 ;;
+zoo_x2)
+  run zoo_x2 18000 python scripts/train_zoo.py --steps 20000 --spd 100 \
+    --scale_factor 2 --train_dataset procedural --test_dataset procedural \
+    --out /tmp/r4/results_zoo_procedural_x2.json ;;
 deconv)
   run deconv 3600 python scripts/bench_deconv_int8.py ;;
 paperscale)
