@@ -14,9 +14,18 @@ run() { # run <name> <timeout_s> <cmd...>
 }
 
 stages=("$@")
-[ ${#stages[@]} -eq 0 ] && stages=(zoo_x3 zoo_x8)
+[ ${#stages[@]} -eq 0 ] && stages=(zoo_x3 zoo_x8 edsr_paper_long)
 for stage in "${stages[@]}"; do
 case $stage in
+edsr_paper_long)
+  # flagship quality headline at paper width: EDSR 32 blocks / 256
+  # filters / res_scale 0.1 (Lim et al. CVPRW'17 config), 50k steps on
+  # the procedural corpus with ensemble + int8 eval columns
+  run edsr_paper_long 14400 python scripts/train_zoo.py --steps 50000 \
+    --spd 100 --models EDSR --train_dataset procedural \
+    --test_dataset procedural --base_filter 256 --num_resblocks 32 \
+    --res_scale 0.1 --ensemble_eval --quant_eval \
+    --out /tmp/r4/results_edsr_paper_long.json ;;
 zoo_x3)
   run zoo_x3 18000 python scripts/train_zoo.py --steps 20000 --spd 100 \
     --scale_factor 3 --train_dataset procedural --test_dataset procedural \
