@@ -25,7 +25,8 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
             spd: int = 1, corpus: int = 0, vgg: str | None = None,
             scale_factor: int = 4, quant_eval: bool = False,
             crop: int = 0, ensemble_eval: bool = False,
-            overrides: dict | None = None) -> dict:
+            overrides: dict | None = None,
+            device_metrics: bool = True) -> dict:
     from sr.data.datasets import get_training_set
     from sr.data.pipeline import build_patch_pipeline
     from sr.eval.runner import evaluate
@@ -91,11 +92,16 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
     from sr.data.datasets import get_test_set
 
     test_set = get_test_set(cfg.data_dir, cfg.test_dataset)
-    res = evaluate(
-        predict, test_set, cfg.scale_factor, channels=color_c,
-        pre_upsample=spec.pre_upsample, dataset_name=cfg.test_dataset,
+    # shared eval kwargs; on_device_metrics fetches only scalars (this
+    # environment's D2H relay makes full-image fetches the dominant wall
+    # cost of a zoo run — equivalence locked by tests/test_eval.py)
+    ev = dict(
+        channels=color_c, pre_upsample=spec.pre_upsample,
+        dataset_name=cfg.test_dataset,
         color_space="rgb" if cfg.test_dataset == "synthetic" else "ycbcr",
+        on_device_metrics=device_metrics,
     )
+    res = evaluate(predict, test_set, cfg.scale_factor, **ev)
     out = {
         "model": name, "steps": steps,
         "train_s": round(time.time() - t0, 1),
@@ -107,10 +113,7 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
 
         eres = evaluate(
             make_self_ensemble_predict(predict), test_set,
-            cfg.scale_factor, channels=color_c,
-            pre_upsample=spec.pre_upsample, dataset_name=cfg.test_dataset,
-            color_space="rgb" if cfg.test_dataset == "synthetic"
-            else "ycbcr",
+            cfg.scale_factor, **ev,
         )
         out["psnr_plus"] = eres.summary()["psnr_sr"]
         out["ssim_plus"] = eres.summary().get("ssim_sr")
@@ -119,12 +122,7 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
         from sr.quant import make_quantized_predict
 
         qfn = make_quantized_predict(q_model, q_vars)
-        qres = evaluate(
-            qfn, test_set, cfg.scale_factor, channels=color_c,
-            pre_upsample=spec.pre_upsample, dataset_name=cfg.test_dataset,
-            color_space="rgb" if cfg.test_dataset == "synthetic"
-            else "ycbcr",
-        )
+        qres = evaluate(qfn, test_set, cfg.scale_factor, **ev)
         out["psnr_int8"] = qres.summary()["psnr_sr"]
         out["ssim_int8"] = qres.summary().get("ssim_sr")
         # static-calibrated scales (the fast int8 mode), calibrated on
@@ -143,21 +141,11 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
             train=False)
         sfn = _jax.jit(lambda x: quantized_apply(
             q_model, q_vars, x, scales=scales, train=False))
-        sres = evaluate(
-            sfn, test_set, cfg.scale_factor, channels=color_c,
-            pre_upsample=spec.pre_upsample, dataset_name=cfg.test_dataset,
-            color_space="rgb" if cfg.test_dataset == "synthetic"
-            else "ycbcr",
-        )
+        sres = evaluate(sfn, test_set, cfg.scale_factor, **ev)
         out["psnr_int8_static"] = sres.summary()["psnr_sr"]
         out["ssim_int8_static"] = sres.summary().get("ssim_sr")
         lfn = make_quantized_predict(q_model, q_vars, mode="static")
-        lres = evaluate(
-            lfn, test_set, cfg.scale_factor, channels=color_c,
-            pre_upsample=spec.pre_upsample, dataset_name=cfg.test_dataset,
-            color_space="rgb" if cfg.test_dataset == "synthetic"
-            else "ycbcr",
-        )
+        lres = evaluate(lfn, test_set, cfg.scale_factor, **ev)
         out["psnr_int8_static_lazy"] = lres.summary()["psnr_sr"]
     print(json.dumps(out), flush=True)
     return out
@@ -194,6 +182,10 @@ def main():
     p.add_argument("--res_scale", type=float, default=None)
     p.add_argument("--num_recursions", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--host_metrics", action="store_true",
+                   help="compute eval metrics on host from fetched "
+                        "images (default: on-device scalars — the relay "
+                        "D2H makes image fetches the dominant zoo cost)")
     a = p.parse_args()
     overrides = {k: getattr(a, k) for k in
                  ("base_filter", "num_resblocks", "res_scale",
@@ -210,7 +202,8 @@ def main():
                 run_one(name, a.steps, a.train_dataset, a.test_dataset,
                         a.spd, a.corpus, a.vgg, a.scale_factor,
                         a.quant_eval, a.crop, a.ensemble_eval,
-                        overrides or None)
+                        overrides or None,
+                        device_metrics=not a.host_metrics)
             )
         except Exception as e:  # noqa: BLE001
             print(f"[zoo] {name} FAILED: {e}", file=sys.stderr, flush=True)
