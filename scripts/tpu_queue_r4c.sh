@@ -14,9 +14,15 @@ run() { # run <name> <timeout_s> <cmd...>
 }
 
 stages=("$@")
-[ ${#stages[@]} -eq 0 ] && stages=(zoo_x3 zoo_x8 edsr_paper_long)
+[ ${#stages[@]} -eq 0 ] && stages=(lapsrn20k zoo_x3 zoo_x8 edsr_paper_long)
 for stage in "${stages[@]}"; do
 case $stage in
+lapsrn20k)
+  # retry: the zoo20k lapsrn row died on a remote-compile relay flake
+  run lapsrn20k 7200 python scripts/train_zoo.py --steps 20000 --spd 100 \
+    --models lapsrn --train_dataset procedural --test_dataset procedural \
+    --ensemble_eval --quant_eval \
+    --out /tmp/r4/results_lapsrn_20k.json ;;
 edsr_paper_long)
   # flagship quality headline at paper width: EDSR 32 blocks / 256
   # filters / res_scale 0.1 (Lim et al. CVPRW'17 config), 50k steps on
