@@ -34,8 +34,10 @@ absolute large-batch wall measurements (PERF.md).
 vs_baseline: ratio against the PyTorch reference on a paper-era GPU.
 The reference repo publishes no benchmark (SURVEY §6) and this
 environment has no GPU, so the baseline constant is an ESTIMATE of the
-torch/cuDNN fp32 reference at ~15 MP/s (EDSR ×4 ≈ 200 kFLOP/output px;
-~12 TFLOP/s Titan-Xp at ~30% util → see BASELINE.md). The per-pixel
+torch/cuDNN fp32 reference at ~15 MP/s (EDSR ×4 ≈ 200–248 kFLOP/output
+px — hand-rounded vs exact sr/utils/flops.py count — at ~12 TFLOP/s
+Titan-Xp, ~30% util; 15 is the conservative end under either → see
+BASELINE.md). The per-pixel
 cost model behind it is pinned by an in-env measurement: the torch
 replica of the reference EDSR runs at a MEASURED 0.307 MP/s on this
 host's CPU core (scripts/bench_torch_cpu.py ⇒ ~61 GFLOP/s achieved,
@@ -233,6 +235,8 @@ def main() -> None:
               file=sys.stderr)
         value, label = exact_mps, "exact graph"
 
+    bf16_fused_mps = value  # apples-to-apples co-headline (f32-GPU ref)
+
     try:  # int8-static serving mode: headline only if faster
         from sr.kernels.fused_tail import make_fused_tail_predict_quant
 
@@ -258,10 +262,12 @@ def main() -> None:
         "value": round(value, 2),
         "unit": "MP/s",
         "vs_baseline": round(value / REF_GPU_MPS, 2),
-        # apples-to-apples co-headline: bf16 exact graph vs the f32-GPU
-        # baseline estimate (the int8 headline is the serving mode with
-        # its measured quality delta; VERDICT r3 weak #5)
+        # apples-to-apples co-headlines vs the f32-GPU baseline estimate
+        # (the int8 headline is the serving mode with its measured
+        # quality delta; VERDICT r3 weak #5)
         "bf16_exact_mps": round(exact_mps, 2),
+        "bf16_fused_mps": round(bf16_fused_mps, 2),
+        "bf16_fused_vs_baseline": round(bf16_fused_mps / REF_GPU_MPS, 2),
     }
     try:  # training axis (driver-visible; VERDICT r3 next #2)
         record["train"] = train_bench()

@@ -126,6 +126,15 @@ def ssim_device(pred, target, max_val: float = 255.0, border: int = 0):
     scale-invariant: p/max, t/max with C1=0.01², C2=0.03² is identical
     algebra with ~1e-7 instead of ~1e-3 f32 rounding); golden-tested
     against the float64 host implementation (tests/test_metrics.py).
+
+    The gaussian blurs run at ``lax.Precision.HIGHEST``: TPU convs
+    default to one bf16 MXU pass even for f32 operands, and the
+    ``E[x²] − μ²`` variance form cancels catastrophically under that
+    (~1e-3 blur error vs C2 = 9e-4 in the denominator — measured SSIM
+    values of 1.05–3.87 on real eval runs, round 4). CPU convs are true
+    f32, which is why the CPU golden test alone never caught it; the
+    precision attribute itself is regression-locked by
+    tests/test_metrics.py::test_ssim_device_conv_precision.
     """
     import jax.lax as lax
 
@@ -145,10 +154,12 @@ def ssim_device(pred, target, max_val: float = 255.0, border: int = 0):
         y = lax.conv_general_dilated(
             y, k1[:, None, None, None], (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
         )
         y = lax.conv_general_dilated(
             y, k1[None, :, None, None], (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
         )
         return jnp.transpose(y[..., 0], (1, 2, 0))
 

@@ -75,6 +75,13 @@ class EvalResult:
         }
         if len(pairs) != len(self.images):
             out["ssim_images"] = len(pairs)
+        if out["ssim_sr"] > 1.0001 or out["ssim_bicubic"] > 1.0001:
+            # mathematically impossible for a correct SSIM — the round-4
+            # signature of low-precision device blurs (metrics.ssim_device)
+            import sys
+
+            print(f"[eval] WARNING: SSIM > 1 ({out}) — device-metric "
+                  "precision bug; values are invalid", file=sys.stderr)
         return out
 
 
@@ -97,7 +104,11 @@ def _device_y_metrics(sr_float, hr_u8, channels, color_space, border):
     """
     import jax.numpy as jnp
 
-    sr_u8f = jnp.clip(jnp.round(sr_float * 255.0), 0, 255)
+    sr_float = jnp.asarray(sr_float)
+    if sr_float.dtype == jnp.uint8:  # predict emits u8 (sr.quant.to_u8)
+        sr_u8f = sr_float.astype(jnp.float32)
+    else:
+        sr_u8f = jnp.clip(jnp.round(sr_float * 255.0), 0, 255)
     hr = jnp.asarray(hr_u8).astype(jnp.float32)
     if channels == 1:
         y_sr, y_hr = sr_u8f[..., 0], hr[..., 0]

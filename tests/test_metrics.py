@@ -197,3 +197,29 @@ def test_ssim_device_matches_host():
         h = ssim(p, t, border=border)
         d = float(ssim_device(p, t, border=border))
         assert d == pytest.approx(h, abs=2e-6), (shape, h, d)
+
+
+def test_ssim_device_conv_precision():
+    """Every gaussian-blur conv inside ssim_device must carry
+    Precision.HIGHEST. TPU convs default to ONE bf16 MXU pass for f32
+    operands, and the E[x²]−μ² variance form cancels catastrophically
+    under that (~1e-3 blur error vs C2 = 9e-4 in the denominator):
+    round-4 zoo evals recorded SSIM of 1.05–3.87 — mathematically
+    impossible — while this suite's CPU goldens stayed green (CPU convs
+    are true f32). Locking the jaxpr attribute is the only way a
+    CPU-only suite can regression-test a TPU-only numeric."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from sr.eval.metrics import ssim_device
+
+    z = jnp.zeros((32, 32), jnp.float32)
+    jaxpr = jax.make_jaxpr(ssim_device)(z, z)
+    convs = [e for e in jaxpr.jaxpr.eqns
+             if e.primitive.name == "conv_general_dilated"]
+    assert len(convs) == 10  # 5 blurs × 2 separable passes
+    for e in convs:
+        prec = e.params.get("precision")
+        assert prec in ((lax.Precision.HIGHEST, lax.Precision.HIGHEST),
+                        lax.Precision.HIGHEST), prec
