@@ -77,6 +77,16 @@ def op_profile(fn, *args, iters: int = 3, log_dir: str | None = None):
     runs = sorted(glob.glob(f"{log_dir}/plugins/profile/*/"))
     if not runs:
         raise RuntimeError(f"no profile dump under {log_dir}")
+    try:
+        # preferred: the xplane protobuf. The Chrome-JSON export caps at
+        # 1e6 events and fills them host-first, so a scan-K training
+        # step's host event storm evicts the ENTIRE device track
+        # (observed round 4: 2.78M host vs 182k device events → empty
+        # attribution); the xplane keeps every plane and also carries
+        # hlo_category / flops / source / tf_op stats the JSON lacks.
+        return parse_xplane(runs[-1], iters=iters, log_dir=log_dir)
+    except Exception:  # no TF protos / layout change: Chrome fallback
+        pass
     traces = glob.glob(f"{runs[-1]}/*.trace.json.gz")
     if not traces:
         raise RuntimeError(f"no trace.json.gz under {runs[-1]}")
@@ -114,6 +124,108 @@ def op_profile(fn, *args, iters: int = 3, log_dir: str | None = None):
             row["pct"] = round(100.0 * d / op_total, 2) if op_total else 0.0
             ops.append(row)
     return {"programs": programs, "ops": ops, "log_dir": log_dir}
+
+
+def parse_xplane(run_dir: str, iters: int = 1, log_dir: str | None = None):
+    """Parse a ``*.xplane.pb`` profiler dump into the op_profile schema.
+
+    Reads the device plane's "XLA Modules" line as *programs* and the
+    "XLA Ops" line as *ops* (leaf ops only — `while`/`conditional`
+    containers envelope their children and would double-count).
+    Each op row additionally carries the XLA ``category``, summed
+    ``flops``/``bytes`` per iteration, the achieved ``tflops``/``gbps``,
+    and the JAX-level ``source`` file:line — none of which exist in the
+    Chrome-JSON export. Requires the TF tsl profiler protos (present in
+    this image); :func:`op_profile` falls back to the Chrome trace
+    without them.
+    """
+    import collections
+    import glob
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # noqa: PLC0415
+
+    paths = glob.glob(f"{run_dir}/*.xplane.pb")
+    if not paths:
+        raise RuntimeError(f"no xplane.pb under {run_dir}")
+    space = xplane_pb2.XSpace()
+    with open(paths[0], "rb") as f:
+        space.ParseFromString(f.read())
+
+    device = [p for p in space.planes
+              if p.name.startswith("/device:") and p.lines]
+    if not device:  # CPU backend: host plane carries the XLA lines
+        device = [p for p in space.planes if p.lines]
+    if not device:
+        raise RuntimeError("xplane has no populated planes")
+    plane = device[0]
+    md, smd = plane.event_metadata, plane.stat_metadata
+    sname = {k: v.name for k, v in smd.items()}
+
+    def stat_map(stats):
+        return {sname.get(s.metadata_id, "?"): s for s in stats}
+
+    def num(s):
+        return s.int64_value or s.uint64_value or s.double_value
+
+    programs = []
+    for line in plane.lines:
+        if line.name != "XLA Modules":
+            continue
+        agg = collections.defaultdict(float)
+        cnt = collections.Counter()
+        for e in line.events:
+            n = md[e.metadata_id].name.split("(")[0]
+            agg[n] += e.duration_ps / 1e9
+            cnt[n] += 1
+        for n, d in sorted(agg.items(), key=lambda kv: -kv[1]):
+            programs.append({"name": n, "ms_per_iter": round(d / iters, 4),
+                             "count_per_iter": cnt[n] / iters})
+
+    dur = collections.defaultdict(float)
+    cnt = collections.Counter()
+    flops = collections.defaultdict(float)
+    nbytes = collections.defaultdict(float)
+    extra: dict[str, dict] = {}
+    _containers = ("while", "conditional", "call")
+    for line in plane.lines:
+        if line.name != "XLA Ops":
+            continue
+        for e in line.events:
+            m = md[e.metadata_id]
+            st = stat_map(m.stats)
+            cat = st["hlo_category"].str_value if "hlo_category" in st else ""
+            if cat in _containers:
+                continue
+            n = m.display_name or m.name
+            dur[n] += e.duration_ps / 1e9
+            cnt[n] += 1
+            if "flops" in st:
+                flops[n] += num(st["flops"])
+            if "bytes_accessed" in st:
+                nbytes[n] += num(st["bytes_accessed"])
+            if n not in extra:
+                extra[n] = {"category": cat}
+                if "source" in st and st["source"].str_value:
+                    extra[n]["source"] = st["source"].str_value
+
+    ops = []
+    op_total = sum(dur.values())
+    for n, d in sorted(dur.items(), key=lambda kv: -kv[1]):
+        row = {"name": n, "ms_per_iter": round(d / iters, 4),
+               "count_per_iter": cnt[n] / iters,
+               "pct": round(100.0 * d / op_total, 2) if op_total else 0.0,
+               **extra[n]}
+        if flops[n]:
+            row["gflops_per_iter"] = round(flops[n] / iters / 1e9, 3)
+            row["tflops"] = round(flops[n] / (d / 1e3) / 1e12, 2)
+        if nbytes[n]:
+            row["gbps"] = round(nbytes[n] / (d / 1e3) / 1e9, 1)
+        ops.append(row)
+    if not ops:
+        # e.g. the CPU backend's xplane has no "XLA Ops" line — let
+        # op_profile fall back to the Chrome-JSON host-track parse
+        raise RuntimeError(f"no XLA Ops line in {paths[0]}")
+    return {"programs": programs, "ops": ops, "log_dir": log_dir or run_dir}
 
 
 class StepTimer:
