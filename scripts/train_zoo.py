@@ -26,7 +26,8 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
             scale_factor: int = 4, quant_eval: bool = False,
             crop: int = 0, ensemble_eval: bool = False,
             overrides: dict | None = None,
-            device_metrics: bool = True) -> dict:
+            device_metrics: bool = True,
+            save_params_path: str | None = None) -> dict:
     from sr.data.datasets import get_training_set
     from sr.data.pipeline import build_patch_pipeline
     from sr.eval.runner import evaluate
@@ -88,6 +89,17 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
         q_model, q_vars = tr.model, {"params": state.params}
         if state.batch_stats is not None:
             q_vars["batch_stats"] = state.batch_stats
+
+    if save_params_path:
+        # persist trained weights BEFORE eval: remote eval compiles can
+        # hang indefinitely (relay flake, CLAUDE.md) — without this a
+        # hung eval costs the whole training run (lost a 50k-step
+        # paper-width EDSR in round 4)
+        from sr.utils.checkpoint import save_params as _save_params
+
+        ppath = save_params_path.replace("{model}", name)
+        _save_params(ppath, q_vars["params"], q_vars.get("batch_stats"))
+        print(f"[zoo] saved trained params -> {ppath}", flush=True)
 
     from sr.data.datasets import get_test_set
 
@@ -182,6 +194,12 @@ def main():
     p.add_argument("--res_scale", type=float, default=None)
     p.add_argument("--num_recursions", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--save_params", default=None,
+                   help="save trained params (flattened .npz, "
+                        "sr.utils.checkpoint.save_params) to this path "
+                        "before eval; '{model}' expands to the model "
+                        "name. Insurance against eval-phase relay "
+                        "hangs: weights survive a killed eval.")
     p.add_argument("--host_metrics", action="store_true",
                    help="compute eval metrics on host from fetched "
                         "images (default: on-device scalars — the relay "
@@ -203,7 +221,8 @@ def main():
                         a.spd, a.corpus, a.vgg, a.scale_factor,
                         a.quant_eval, a.crop, a.ensemble_eval,
                         overrides or None,
-                        device_metrics=not a.host_metrics)
+                        device_metrics=not a.host_metrics,
+                        save_params_path=a.save_params)
             )
         except Exception as e:  # noqa: BLE001
             print(f"[zoo] {name} FAILED: {e}", file=sys.stderr, flush=True)
