@@ -93,6 +93,50 @@ def fold_bias(bias, r: int):
     return np.repeat(np.asarray(bias), r * r)
 
 
+def fold_shuffle_conv_kernel_jnp(kernel, r: int, padding: int | None = None):
+    """Differentiable (traced) twin of :func:`fold_shuffle_conv_kernel`.
+
+    Same scatter, but on a ``jnp`` kernel inside a jitted graph, so the
+    fold can sit UNDER ``jax.value_and_grad`` with the parameters kept in
+    the ORIGINAL basis: gradients flow back through the (collision-free)
+    scatter to the unfolded weights, and the optimizer state never sees
+    the folded layout. This is what lets training run its output conv in
+    pre-shuffle space (the training-side d2s fold — PERF.md "known
+    headroom") without touching checkpoints or Adam moments.
+
+    The scatter is k²·r² static ``.at[...].set`` updates of (C,N) slices
+    traced once per jit; per-step cost is a handful of tiny scatters on
+    the (T,T,C·r²,N·r²) kernel — negligible next to the conv itself.
+    """
+    k, k2, c, n = kernel.shape
+    assert k == k2, "square kernels only"
+    p = k // 2 if padding is None else padding
+
+    dmin = (0 - p) // r
+    dmax = (r - 1 + k - 1 - p) // r
+    t = dmax - dmin + 1
+
+    wf = jnp.zeros((t, t, c * r * r, n * r * r), kernel.dtype)
+    for alpha in range(r):
+        for dy in range(k):
+            ay = alpha + dy - p
+            delta_y, iy = ay // r, ay % r
+            for beta in range(r):
+                for dx in range(k):
+                    ax = beta + dx - p
+                    delta_x, ix = ax // r, ax % r
+                    # collision-free (see fold_shuffle_conv_kernel's
+                    # derivation: (Δ, phase-in, phase-out) determines the
+                    # source tap uniquely) → set, not add
+                    wf = wf.at[
+                        delta_y - dmin,
+                        delta_x - dmin,
+                        iy * r + ix :: r * r,
+                        alpha * r + beta :: r * r,
+                    ].set(kernel[dy, dx])
+    return wf, dmin
+
+
 def make_folded_tail_predict(model, variables):
     """Jitted forward with the output conv folded through the last pixel
     shuffle. Works for both PSBlock-tailed zoo models:

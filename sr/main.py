@@ -73,6 +73,11 @@ def parse_args(argv=None) -> SRConfig:
                    choices=["item", "batch"],
                    help="sampler scale draw: per item (reference) or per "
                         "batch (1.37x faster stepping for small models)")
+    p.add_argument("--preshuffle_loss", action="store_true",
+                   help="train tail-shuffle models (ESPCN/EDSR) in "
+                        "pre-shuffle space: exact same loss, but the "
+                        "final depth_to_space never runs in fwd/bwd "
+                        "(EDSR's out_conv folds through the shuffle)")
     p.add_argument("--self_ensemble", action="store_true",
                    help="geometric self-ensemble at eval: average the 8 "
                         "D4 flip/rotation variants (the EDSR paper's '+' "
@@ -109,6 +114,7 @@ def parse_args(argv=None) -> SRConfig:
         steps_per_dispatch=a.steps_per_dispatch,
         random_scale_mode=a.random_scale_mode,
         vdsr_clip_theta=a.vdsr_clip_theta,
+        preshuffle_loss=a.preshuffle_loss,
     )
     return check_args(cfg), (a.eval_only, a.fast_eval, a.export,
                              a.export_torch, a.self_ensemble)

@@ -65,6 +65,19 @@ class Net(nn.Module):
     def __call__(self, x, train: bool = False):
         return self.tail(self.body(x, train), train)
 
+    def forward_preshuffle(self, x, train: bool = False):
+        """Body + upsample stages with the LAST stage's shuffle omitted:
+        returns the pre-shuffle activation that feeds [d2s → out_conv].
+        The trainer's pre-shuffle loss mode folds out_conv through the
+        final shuffle on top of this (sr/kernels/shuffle_fold.py), so
+        the full-resolution d2s layout copy never runs in fwd or bwd
+        (~14% of the train step — PERF.md backward attribution). Exact:
+        EDSR's PSBlocks are act/norm-free."""
+        x = self.body(x, train)
+        for up in self.upsample[:-1]:
+            x = up(x, train)
+        return self.upsample[-1](x, train, shuffle=False)
+
 
 def _make(cfg):
     return Net(
@@ -75,6 +88,39 @@ def _make(cfg):
 
 def _loss(out, batch, ctx):
     return l1_loss(out, batch["hr"]), {}
+
+
+def _preshuffle_train(model):
+    """Pre-shuffle training forward: body+stages (last shuffle omitted)
+    then the out_conv FOLDED through the final shuffle, applied in-graph
+    from the live params (differentiable scatter — grads land in the
+    original out_conv basis; Adam/checkpoints unchanged). Output is the
+    pre-shuffle image: loss runs against space_to_depth(hr, r_last)
+    (L1 is permutation-invariant), so the full-res d2s and the narrow
+    3-channel out_conv gradient both disappear from the step."""
+    import jax
+
+    from sr.kernels.shuffle_fold import fold_shuffle_conv_kernel_jnp
+
+    r_last = _STAGES[model.scale_factor][-1]
+
+    def apply_fn(variables, x, train=True):
+        h = model.apply(variables, x, train=train,
+                        method="forward_preshuffle")
+        oc = variables["params"]["out_conv"]["Conv_0"]
+        wf, dmin = fold_shuffle_conv_kernel_jnp(
+            oc["kernel"].astype(h.dtype), r_last
+        )
+        t = wf.shape[0]
+        pad_lo, pad_hi = -dmin, t - 1 + dmin
+        z = jax.lax.conv_general_dilated(
+            h, wf, (1, 1), ((pad_lo, pad_hi), (pad_lo, pad_hi)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        bf = jnp.repeat(oc["bias"], r_last * r_last)
+        return z + bf.astype(z.dtype)
+
+    return apply_fn, r_last
 
 
 SPEC = register(
@@ -92,5 +138,6 @@ SPEC = register(
         pre_upsample=False,
         default_channels=3,
         default_lr=1e-4,
+        preshuffle_train=_preshuffle_train,
     )
 )

@@ -25,13 +25,18 @@ class Net(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, preshuffle: bool = False):
         r = self.scale_factor
         x = ConvBlock(self.base_filter, 5, act="relu", dtype=self.dtype)(x, train)
         x = ConvBlock(self.base_filter // 2, 3, act="relu", dtype=self.dtype)(x, train)
         x = nn.Conv(
             self.num_channels * r * r, (3, 3), padding="SAME", dtype=self.dtype
         )(x)
+        if preshuffle:
+            # the shuffle is the net's LAST op — pre-shuffle training
+            # (cfg.preshuffle_loss) computes the MSE against
+            # space_to_depth(hr) instead and skips it in fwd AND bwd
+            return x
         return depth_to_space(x, r, use_pallas=self.use_pallas)
 
 
@@ -46,6 +51,16 @@ def _loss(out, batch, ctx):
     return mse_loss(out, batch["hr"]), {}
 
 
+def _preshuffle_train(model):
+    """No fold needed: the shuffle is ESPCN's final op, so the
+    pre-shuffle output is just the last conv's (B,h,w,c·r²) tensor."""
+
+    def apply_fn(variables, x, train=True):
+        return model.apply(variables, x, train=train, preshuffle=True)
+
+    return apply_fn, model.scale_factor
+
+
 SPEC = register(
     ModelSpec(
         name="ESPCN",
@@ -55,5 +70,6 @@ SPEC = register(
         pre_upsample=False,
         default_channels=1,
         default_lr=1e-3,
+        preshuffle_train=_preshuffle_train,
     )
 )

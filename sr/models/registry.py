@@ -36,6 +36,14 @@ class ModelSpec:
     # model exposes every power-of-2 level up to scale_factor via
     # apply(..., all_scales=True) (LapSRN's pyramid)
     multi_scale_out: bool = False
+    # optional pre-shuffle training support (models whose tail ends in a
+    # pixel shuffle): model → (apply_fn, r_last) where
+    # apply_fn(variables, x, train) returns the PRE-shuffle output
+    # (B, H·r/r_last, W·r/r_last, C·r_last²). The trainer then computes
+    # the (permutation-invariant) loss against space_to_depth(hr) and
+    # the final depth_to_space never runs in fwd OR bwd
+    # (cfg.preshuffle_loss; sr/kernels/shuffle_fold.py).
+    preshuffle_train: Callable[[Any], tuple] | None = None
 
     def input_key(self) -> str:
         return "bc" if self.pre_upsample else "lr"

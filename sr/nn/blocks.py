@@ -209,7 +209,7 @@ class PSBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, shuffle: bool = True):
         r = self.scale_factor
         x = nn.Conv(
             self.features * r * r,
@@ -218,6 +218,14 @@ class PSBlock(nn.Module):
             kernel_init=get_kernel_init(self.kernel_init),
             dtype=self.dtype,
         )(x)
+        if not shuffle:
+            # pre-shuffle tap for the training-side fold
+            # (sr/kernels/shuffle_fold.py): exact only when nothing
+            # follows the conv inside this block
+            assert self.act is None and self.norm is None, (
+                "shuffle=False requires an act/norm-free PSBlock"
+            )
+            return x
         x = depth_to_space(x, r)
         return _NormAct(self.norm, self.act, self.dtype)(x, train)
 

@@ -62,6 +62,15 @@ class Trainer:
         self._step_fn = None
         self._predict_fn = None
         self._in_key = self.spec.input_key()
+        # pre-shuffle loss mode (cfg.preshuffle_loss): tail-shuffle
+        # models train in pre-shuffle space — the final depth_to_space
+        # layout copy drops out of fwd+bwd, and EDSR's narrow out_conv
+        # runs folded with r²× the MXU lanes. Exact: the fold is exact
+        # and the losses are permutation-invariant elementwise means
+        # (tests/test_train_fold.py locks step equivalence).
+        self._preshuffle = None
+        if cfg.preshuffle_loss and self.spec.preshuffle_train is not None:
+            self._preshuffle = self.spec.preshuffle_train(self.model)
 
     # -- state ------------------------------------------------------------
 
@@ -91,8 +100,22 @@ class Trainer:
         in_key = self._in_key
         batch_sh = self._batch_sh
 
+        preshuffle = self._preshuffle
+
         def loss_fn(params, batch_stats, batch, step):
-            out, new_bs = _apply(model, params, batch_stats, batch[in_key], True)
+            if preshuffle is not None:
+                from sr.kernels.depth_to_space import space_to_depth
+
+                apply_pre, r_last = preshuffle
+                out = apply_pre({"params": params}, batch[in_key], train=True)
+                new_bs = batch_stats  # eligible models carry no BN
+                # hr moves to pre-shuffle space instead (no grad side:
+                # one transpose XLA can fuse into the loss elementwise)
+                batch = {**batch, "hr": space_to_depth(batch["hr"], r_last)}
+            else:
+                out, new_bs = _apply(
+                    model, params, batch_stats, batch[in_key], True
+                )
             ctx = spec.schedule(cfg, step)
             loss, metrics = spec.loss(out, batch, ctx)
             return loss, (metrics, new_bs)

@@ -87,6 +87,14 @@ class SRConfig:
     keep_checkpoints: int = 3
     resume: bool = True
     use_pallas: bool = False  # route hot ops through Pallas kernels
+    # train tail-shuffle models (ESPCN/EDSR) in PRE-shuffle space: the
+    # loss compares the pre-shuffle output against space_to_depth(hr)
+    # (exact — elementwise-mean losses are permutation-invariant, and
+    # EDSR's out_conv folds exactly through the final shuffle), removing
+    # the full-res depth_to_space layout copies from fwd+bwd
+    # (~14% of the EDSR step in the round-4 backward attribution).
+    # Ignored by models without a trailing shuffle.
+    preshuffle_loss: bool = False
 
     def replace(self, **kw) -> "SRConfig":
         return dataclasses.replace(self, **kw)
