@@ -227,15 +227,22 @@ def main() -> None:
         def fused(x):
             return jnp.sum(fused_fn(x).astype(jnp.float32))
 
-        value = _measure(fused, key, "fused")
+        fused_raw_mps = _measure(fused, key, "fused")
+        value = fused_raw_mps
         if value < exact_mps:  # fusion should never be slower; be honest
             value, label = exact_mps, "exact graph"
     except Exception as e:  # noqa: BLE001
         print(f"[bench] fused path unavailable ({e}); exact fallback",
               file=sys.stderr)
+        fused_raw_mps = None  # record the absence, not the exact number
         value, label = exact_mps, "exact graph"
 
-    bf16_fused_mps = value  # apples-to-apples co-headline (f32-GPU ref)
+    # apples-to-apples co-headline (f32-GPU ref). When the fused path is
+    # unavailable or slower, report what the FUSED graph actually did
+    # (None / the slower number) — silently substituting exact_mps would
+    # read as a false 1.0x fused-vs-exact ratio across rounds.
+    bf16_fused_mps = fused_raw_mps
+    best_float_mps = value
 
     try:  # int8-static serving mode: headline only if faster
         from sr.kernels.fused_tail import make_fused_tail_predict_quant
@@ -266,8 +273,13 @@ def main() -> None:
         # (the int8 headline is the serving mode with its measured
         # quality delta; VERDICT r3 weak #5)
         "bf16_exact_mps": round(exact_mps, 2),
-        "bf16_fused_mps": round(bf16_fused_mps, 2),
-        "bf16_fused_vs_baseline": round(bf16_fused_mps / REF_GPU_MPS, 2),
+        "bf16_fused_mps": (round(bf16_fused_mps, 2)
+                           if bf16_fused_mps is not None else None),
+        "bf16_fused_vs_baseline": (round(bf16_fused_mps / REF_GPU_MPS, 2)
+                                   if bf16_fused_mps is not None else None),
+        # the best FLOAT serving mode (fused when it wins, else exact) —
+        # what the int8 candidate below must beat to take the headline
+        "bf16_best_mps": round(best_float_mps, 2),
     }
     try:  # training axis (driver-visible; VERDICT r3 next #2)
         record["train"] = train_bench()

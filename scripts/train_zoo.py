@@ -51,14 +51,22 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
         vgg_output_layer="relu2_2" if vgg else "relu5_4",
         **(overrides or {}),  # paper-scale topology knobs (VERDICT r3 #5)
     )
+    # color convention must match sr.main.build_pipeline: 3-channel
+    # models train/eval in RGB (the reference convention for
+    # EDSR/SRResNet/SRGAN — SURVEY §2.2), 1-channel models take Y of
+    # YCbCr. Before round 4 session 6 this defaulted to ycbcr for ALL
+    # models: self-consistent (train and eval both YCbCr, Y-PSNR still
+    # Y-PSNR) but divergent from the CLI path — RESULTS.md marks the
+    # affected procedural 3-channel rows.
+    color_c = spec.default_channels
+    color = "rgb" if color_c == 3 else "ycbcr"
     if corpus and train_ds == "synthetic":
         from sr.data.datasets import SyntheticDataset
 
         train_set = SyntheticDataset(num_images=corpus, size=(160, 160),
                                      channels=3, seed=100)
     else:
-        train_set = get_training_set(cfg.data_dir, cfg.train_dataset)
-    color_c = spec.default_channels
+        train_set = get_training_set(cfg.data_dir, cfg.train_dataset, color)
     images = [im if color_c == 3 else im[..., :1] for im in
               (train_set[i] for i in range(len(train_set)))]
     # corpus-aware construction (random-scale aug when the corpus allows
@@ -103,14 +111,14 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
 
     from sr.data.datasets import get_test_set
 
-    test_set = get_test_set(cfg.data_dir, cfg.test_dataset)
+    test_set = get_test_set(cfg.data_dir, cfg.test_dataset, color)
     # shared eval kwargs; on_device_metrics fetches only scalars (this
     # environment's D2H relay makes full-image fetches the dominant wall
     # cost of a zoo run — equivalence locked by tests/test_eval.py)
     ev = dict(
         channels=color_c, pre_upsample=spec.pre_upsample,
         dataset_name=cfg.test_dataset,
-        color_space="rgb" if cfg.test_dataset == "synthetic" else "ycbcr",
+        color_space=color,  # matches how test_set was loaded above
         on_device_metrics=device_metrics,
     )
     res = evaluate(predict, test_set, cfg.scale_factor, **ev)

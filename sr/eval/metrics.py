@@ -16,6 +16,7 @@ These functions accept numpy or JAX arrays; pure ones are jittable.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -202,7 +203,12 @@ def rgb_to_ycbcr(rgb, unit_range: bool = False):
     if unit_range:
         off = off / 255.0
     x = jnp.asarray(rgb, dtype=jnp.float32)
-    return jnp.einsum("...c,kc->...k", x, m) + off
+    # precision pin: TPU runs f32 dots as one bf16 MXU pass by default,
+    # which injects ~0.25-0.5 u8-step noise into 0..255-range Y — enough
+    # to skew on-device PSNR for rgb evals (CLAUDE.md device-metric
+    # invariant; locked by tests/test_metrics.py jaxpr check)
+    return jnp.einsum("...c,kc->...k", x, m,
+                      precision=jax.lax.Precision.HIGHEST) + off
 
 
 def ycbcr_to_rgb(ycc, unit_range: bool = False):
@@ -212,4 +218,5 @@ def ycbcr_to_rgb(ycc, unit_range: bool = False):
     if unit_range:
         off = off / 255.0
     x = jnp.asarray(ycc, dtype=jnp.float32) - off
-    return jnp.einsum("...c,kc->...k", x, m)
+    return jnp.einsum("...c,kc->...k", x, m,
+                      precision=jax.lax.Precision.HIGHEST)

@@ -146,6 +146,16 @@ def _load(model_name: str, params_path: str, params_mtime: float,
         variables["batch_stats"] = batch_stats
 
     if select_scale is not None and select_scale != scale_factor:
+        if fused or quantize:
+            # same contract as sr.export._build_predict: the fused/quant
+            # tail rewrites target the final single-output tail, not a
+            # deep-supervised intermediate level — refusing beats
+            # silently serving the float exact graph under a --quantize
+            # flag the operator believes is active
+            raise ValueError(
+                "net_scale (pyramid level serving) does not compose "
+                "with fused/quantize — serve the exact level graph "
+                "(drop --fused/--quantize) or the full-scale output")
         fn = make_pyramid_level_predict(model, variables, spec,
                                         scale_factor, select_scale,
                                         output_u8=output_u8)
@@ -242,12 +252,16 @@ def upscale(
     if spec.pre_upsample or (channels == 1 and img.shape[-1] == 3):
         bc_full = resize_bicubic_u8(img, (h * r, w * r))
 
+    # out_factor = the NETWORK's output/input size ratio (1 for
+    # pre-upsample nets; r otherwise) — deliberately not reusing the
+    # ``net_scale`` parameter name, which means "scale the checkpoint
+    # was trained at" and stays readable below
     if spec.pre_upsample:
         model_in = bc_full
-        net_scale = 1
+        out_factor = 1
     else:
         model_in = img
-        net_scale = r
+        out_factor = r
     if channels == 1:
         net_in = model_in[..., :1]
     else:
@@ -277,7 +291,7 @@ def upscale(
 
     halo = RECEPTIVE_FIELD.get(model_name.lower(), 48)
     if tile is not None and max(x.shape[1], x.shape[2]) > tile:
-        out = tiled_predict(fn, x, net_scale, tile=tile, halo=halo)
+        out = tiled_predict(fn, x, out_factor, tile=tile, halo=halo)
     else:
         out = fn(x)
     out = np.asarray(out)

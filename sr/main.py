@@ -75,9 +75,11 @@ def parse_args(argv=None) -> SRConfig:
                         "batch (1.37x faster stepping for small models)")
     p.add_argument("--preshuffle_loss", action="store_true",
                    help="train tail-shuffle models (ESPCN/EDSR) in "
-                        "pre-shuffle space: exact same loss, but the "
-                        "final depth_to_space never runs in fwd/bwd "
-                        "(EDSR's out_conv folds through the shuffle)")
+                        "pre-shuffle space: exact same loss, the final "
+                        "depth_to_space never runs in fwd/bwd. Measured "
+                        "+2.9%% on ESPCN but 0.74x on EDSR (PERF.md "
+                        "pre-shuffle A/B) — only worth it for "
+                        "single-shuffle tails")
     p.add_argument("--self_ensemble", action="store_true",
                    help="geometric self-ensemble at eval: average the 8 "
                         "D4 flip/rotation variants (the EDSR paper's '+' "

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import io
 import json
+import sys
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -244,9 +245,22 @@ class SRService:
                         f"swaps H/W), artifact has {bad}; re-export "
                         "with self_ensemble=True instead")
                 def _wrap(fn):
-                    out = make_self_ensemble_predict(
-                        fn, output_u8=np.dtype(
-                            fn.exported.out_avals[0].dtype) == np.uint8)
+                    emits_u8 = np.dtype(
+                        fn.exported.out_avals[0].dtype) == np.uint8
+                    if emits_u8:
+                        # each member is de-quantized from an already-
+                        # rounded u8 output (up to half a u8 step of
+                        # noise per member) — the '+' gain survives but
+                        # shrinks; the exact path is baking the ensemble
+                        # into the artifact (export self_ensemble=True:
+                        # members stay float, mean in f32 pre-round)
+                        print(
+                            "[serve] WARNING: --self_ensemble over an "
+                            "output_u8 artifact averages u8-rounded "
+                            "members; re-export with self_ensemble=True "
+                            "for the exact float-member '+' mode",
+                            file=sys.stderr)
+                    out = make_self_ensemble_predict(fn, output_u8=emits_u8)
                     out.exported = fn.exported  # legacy path reads avals
                     return out
 

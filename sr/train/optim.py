@@ -81,21 +81,15 @@ def vdsr_sgd(
     )
 
 
-def adam_with_halving(
-    base_lr: float, steps_per_epoch: int, halve_epochs: int
-) -> optax.GradientTransformation:
-    """EDSR recipe: Adam with lr halved every ``halve_epochs``."""
-    sched = step_decay_schedule(base_lr, steps_per_epoch, halve_epochs, 0.5)
-    return optax.adam(sched)
-
-
 def adam_with_step_halving(
     base_lr: float, halve_steps: int
 ) -> optax.GradientTransformation:
     """EDSR recipe, paper units: Adam with lr halved every
-    ``halve_steps`` minibatch updates (Lim et al.: 2e5). The epoch-based
-    variant above tied the interval to steps_per_epoch, which over-
-    decayed long runs at small spe (PARITY delta; SRConfig.lr_halve_steps
-    documents the measured failure)."""
-    sched = step_decay_schedule(base_lr, 1, max(halve_steps, 1), 0.5)
+    ``halve_steps`` minibatch updates (Lim et al.: 2e5). ``<= 0``
+    disables the decay (constant lr), matching step_decay_schedule's
+    convention — NOT halve-every-step. (An epoch-keyed variant used to
+    live here; it tied the interval to steps_per_epoch and over-decayed
+    long runs at small spe — PARITY delta; SRConfig.lr_halve_steps
+    documents the measured failure.)"""
+    sched = step_decay_schedule(base_lr, 1, halve_steps, 0.5)
     return optax.adam(sched)

@@ -67,7 +67,8 @@ class Trainer:
         # layout copy drops out of fwd+bwd, and EDSR's narrow out_conv
         # runs folded with r²× the MXU lanes. Exact: the fold is exact
         # and the losses are permutation-invariant elementwise means
-        # (tests/test_train_fold.py locks step equivalence).
+        # (tests/test_train_fold.py locks step equivalence). Measured
+        # A/B (PERF.md): +2.9% ESPCN, 0.74x EDSR — opt-in, default off.
         self._preshuffle = None
         if cfg.preshuffle_loss and self.spec.preshuffle_train is not None:
             self._preshuffle = self.spec.preshuffle_train(self.model)

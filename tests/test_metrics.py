@@ -223,3 +223,30 @@ def test_ssim_device_conv_precision():
         prec = e.params.get("precision")
         assert prec in ((lax.Precision.HIGHEST, lax.Precision.HIGHEST),
                         lax.Precision.HIGHEST), prec
+
+
+def test_ycbcr_einsum_precision():
+    """rgb_to_ycbcr / ycbcr_to_rgb feed the ON-DEVICE eval path
+    (sr/eval/runner.py:_device_y_metrics for color_space='rgb'), so
+    their dots carry the same CLAUDE.md device-metric precision pin as
+    ssim_device's convs: TPU runs f32 dots as one bf16 MXU pass by
+    default, injecting ~0.25-0.5 u8-step noise into 0..255-range Y while
+    CPU goldens stay green (round-4 review finding)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from sr.eval.metrics import rgb_to_ycbcr, ycbcr_to_rgb
+
+    z = jnp.zeros((8, 8, 3), jnp.float32)
+    for fn in (rgb_to_ycbcr, ycbcr_to_rgb):
+        jaxpr = jax.make_jaxpr(fn)(z)
+        dots = [e for e in jaxpr.jaxpr.eqns
+                if e.primitive.name == "dot_general"]
+        assert dots, f"{fn.__name__}: einsum did not lower to dot_general"
+        for e in dots:
+            prec = e.params.get("precision")
+            assert prec in (
+                (lax.Precision.HIGHEST, lax.Precision.HIGHEST),
+                lax.Precision.HIGHEST,
+            ), (fn.__name__, prec)

@@ -89,3 +89,23 @@ def test_adam_step_halving_is_step_keyed():
     u, state = tx.update(g, state, params)
     assert np.isfinite(np.asarray(u["w"])).all()
     del optax
+
+
+def test_adam_step_halving_zero_disables_decay():
+    """halve_steps <= 0 must mean NO decay (step_decay_schedule's
+    convention), not halve-every-step: max(halve_steps, 1) silently
+    turned lr_halve_steps=0 into lr·0.5^step — frozen after ~50 steps,
+    the exact failure class the step-keyed schedule was shipped to fix
+    (round-4 review finding)."""
+    from sr.train.optim import adam_with_step_halving
+
+    tx = adam_with_step_halving(1e-4, 0)
+    params = {"w": jnp.zeros(2)}
+    state = tx.init(params)
+    g = {"w": jnp.array([1.0, 0.0])}
+    u = None
+    for _ in range(60):
+        u, state = tx.update(g, state, params)
+    # after 60 constant unit gradients Adam's update is ~lr-sized; under
+    # the halve-every-step bug it would be ~1e-4 * 0.5^59 ≈ 2e-22
+    assert abs(float(u["w"][0])) > 1e-5
