@@ -23,9 +23,30 @@ run() { # run <name> <timeout_s> <cmd...>
 }
 
 stages=("${@:2}")
-[ ${#stages[@]} -eq 0 ] && stages=(rgb3ch bench_final)
+[ ${#stages[@]} -eq 0 ] && stages=(paper_plain paper_ens paper_int8s rgb3ch bench_final)
 for stage in "${stages[@]}"; do
 case $stage in
+# paper-width EDSR eval, one variant per process (the in-process eval
+# hung the relay twice at this width; weights survived via
+# --save_params). --color ycbcr: these weights pre-date the RGB fix.
+paper_plain)
+  run paper_plain 5400 python scripts/eval_saved.py \
+    /tmp/r4/edsr_paper_EDSR.npz --model EDSR --variant plain \
+    --test_dataset procedural --scale_factor 4 --color ycbcr \
+    --base_filter 256 --num_resblocks 32 --res_scale 0.1 \
+    --append /tmp/r4/results_edsr_paper_long.json ;;
+paper_ens)
+  run paper_ens 5400 python scripts/eval_saved.py \
+    /tmp/r4/edsr_paper_EDSR.npz --model EDSR --variant ensemble \
+    --test_dataset procedural --scale_factor 4 --color ycbcr \
+    --base_filter 256 --num_resblocks 32 --res_scale 0.1 \
+    --append /tmp/r4/results_edsr_paper_long.json ;;
+paper_int8s)
+  run paper_int8s 5400 python scripts/eval_saved.py \
+    /tmp/r4/edsr_paper_EDSR.npz --model EDSR --variant int8_static \
+    --test_dataset procedural --scale_factor 4 --color ycbcr \
+    --base_filter 256 --num_resblocks 32 --res_scale 0.1 \
+    --append /tmp/r4/results_edsr_paper_long.json ;;
 rgb3ch)
   run rgb3ch 10800 python scripts/train_zoo.py --steps 20000 --spd 100 \
     --models EDSR SRResNet SRGAN \
