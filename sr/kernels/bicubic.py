@@ -119,6 +119,7 @@ def resize2d(
     out_hw: tuple[int, int],
     filter: str = "bicubic",
     clip: bool = True,
+    precision=None,
 ) -> jax.Array:
     """Pillow-parity separable resize of NHWC (or HWC/HW) float images.
 
@@ -129,6 +130,16 @@ def resize2d(
     skip clamping for unit-range callers by passing clip=False).
 
     Jittable with static ``out_hw``. Two dense matmuls → MXU.
+
+    Precision note: the golden-tested "<1 u8 step vs Pillow" bound
+    (tests/test_bicubic.py) is a CPU/true-f32 property. On TPU the
+    default ``precision=None`` lowers each f32 matmul to ONE bf16 MXU
+    pass, adding ~±0.7 u8-step rounding for [0,255] inputs — acceptable
+    for the TRAINING degrade (this is why the pipeline leaves it fast;
+    eval never uses this function: eval-parity resampling is the exact
+    host path, sr/data/native + pil_resize_exact_u8). Pass
+    ``precision=jax.lax.Precision.HIGHEST`` where the CPU-grade bound
+    must hold on device.
     """
     h_out, w_out = out_hw
     squeeze = []
@@ -144,7 +155,9 @@ def resize2d(
     if w_in != w_out:
         mw = jnp.asarray(resize_matrix(w_in, w_out, filter))
         # (B,H,W,C) x (Wout,W) → (B,H,Wout,C)
-        xf = jnp.einsum("bhwc,ow->bhoc", xf, mw, preferred_element_type=jnp.float32)
+        xf = jnp.einsum("bhwc,ow->bhoc", xf, mw,
+                        preferred_element_type=jnp.float32,
+                        precision=precision)
         if clip:
             # Pillow clamps the intermediate pass to [0,255] (uint8 temp
             # image); without this, bicubic overshoot at edges diverges
@@ -152,7 +165,9 @@ def resize2d(
             xf = jnp.clip(xf, 0.0, 255.0)
     if h_in != h_out:
         mh = jnp.asarray(resize_matrix(h_in, h_out, filter))
-        xf = jnp.einsum("bhwc,oh->bowc", xf, mh, preferred_element_type=jnp.float32)
+        xf = jnp.einsum("bhwc,oh->bowc", xf, mh,
+                        preferred_element_type=jnp.float32,
+                        precision=precision)
     if clip:
         xf = jnp.clip(xf, 0.0, 255.0)
     out = xf.astype(dtype)
