@@ -235,8 +235,11 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"[zoo] {name} FAILED: {e}", file=sys.stderr, flush=True)
             results.append({"model": name, "error": str(e)})
-    with open(a.out, "w") as f:
-        json.dump(results, f, indent=1)
+        # write INCREMENTALLY: a multi-model zoo run can hit its outer
+        # timeout (or a relay hang) mid-zoo — completed rows must
+        # survive, same insurance rationale as --save_params
+        with open(a.out, "w") as f:
+            json.dump(results, f, indent=1)
     print(f"wrote {a.out}", flush=True)
 
 
