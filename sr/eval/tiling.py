@@ -92,6 +92,15 @@ def tiled_predict(
             slices.append((sy, sx))
             crops.append((y0 - sy, x0 - sx, y1 - y0, x1 - x0))
 
+    # Dispatch-count note (round-4 review): the per-tile dynamic_slice /
+    # per-chunk concatenate below run EAGERLY — ~2 small dispatches per
+    # tile on top of the n/chunk predict calls. Deliberate: jitting the
+    # gather/stitch would key fresh compiles on every distinct image
+    # size (starts-count and canvas shapes change per image), breaking
+    # the O(1)-compile guarantee for mixed-size datasets — and remote
+    # compiles here cost 40-200 s while an eager dispatch costs ~25 ms.
+    # Geometry-stable large-image serving that wants fewer dispatches
+    # should batch at a higher level (multi-bucket artifacts).
     n = len(slices)
     chunk = max_tiles_per_call if fixed_chunk else max(1, min(max_tiles_per_call, n))
     outs = []
@@ -119,9 +128,16 @@ def tiled_predict(
     return jnp.concatenate(rows, axis=0)[None]
 
 
-# jitted sharded closures keyed WEAKLY on predict_fn — entries die with the
-# fn (no id() reuse after GC, no unbounded growth); the per-fn dict is tiny
-# (one entry per (mesh, axis) actually used with that fn)
+# jitted sharded closures, weakly keyed so entries die with their owner.
+# Two traps this design dodges (round-4 review findings):
+#   * bound methods (trainer.predict) are EPHEMERAL — a fresh object per
+#     attribute access — so the weak key must be the method's __self__
+#     (stable, long-lived), not the method object, or entries die with
+#     the temporary;
+#   * the cached closure must hold predict_fn only WEAKLY: a strong
+#     capture creates a value→key chain inside the WeakKeyDictionary
+#     that keeps every key reachable forever (immortal entries — the
+#     exact unbounded growth the weak keying is meant to prevent).
 _SHARDED_CACHE = weakref.WeakKeyDictionary()
 
 
@@ -131,23 +147,35 @@ def sharded_predict(predict_fn, x: jax.Array, mesh, axis: str = "spatial"):
     ``predict_fn`` must be jittable; the sharding constraint on the input
     rows makes XLA partition every conv spatially and insert the halo
     exchanges over ICI. The jitted closure is cached per
-    (predict_fn, mesh, axis) — weakly on predict_fn, so entries are
-    evicted when the fn is garbage collected — and repeated calls
+    (predict_fn, mesh, axis) — weakly on the fn (or, for bound
+    methods, on its instance), so entries are evicted when the owner
+    is garbage collected — and repeated calls
     (dataset eval) don't re-trace; shape-keyed compilation then behaves
     like any jit.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    per_fn = _SHARDED_CACHE.setdefault(predict_fn, {})
-    run = per_fn.get((mesh, axis))
+    is_method = hasattr(predict_fn, "__self__")
+    anchor = predict_fn.__self__ if is_method else predict_fn
+    inner_key = (getattr(predict_fn, "__func__", None), mesh, axis)
+    try:
+        per_fn = _SHARDED_CACHE.setdefault(anchor, {})
+        fn_ref = (weakref.WeakMethod(predict_fn) if is_method
+                  else weakref.ref(predict_fn))
+    except TypeError:  # non-weakref-able callable: run uncached
+        per_fn, fn_ref = {}, (lambda _fn=predict_fn: _fn)
+    run = per_fn.get(inner_key)
     if run is None:
         sh = NamedSharding(mesh, P(None, axis))
 
         @jax.jit
         def run(x):
+            fn = fn_ref()
+            if fn is None:  # owner died while its cache entry was live
+                raise RuntimeError(
+                    "sharded_predict: predict_fn was garbage collected")
             x = jax.lax.with_sharding_constraint(x, sh)
-            out = predict_fn(x)
-            return jax.lax.with_sharding_constraint(out, sh)
+            return jax.lax.with_sharding_constraint(fn(x), sh)
 
-        per_fn[(mesh, axis)] = run
+        per_fn[inner_key] = run
     return run(x)

@@ -90,19 +90,65 @@ def _expand_calib_d4(calib_list):
 
 def _warm_static(predict, calib_list, h, w, channels, self_ensemble):
     """Trigger the lazy static-int8 calibration with CONCRETE batches
-    before jax.export traces with abstract shapes. With a calib corpus
-    the constructor already calibrated (calibrate() no-ops)."""
-    if calib_list is not None:
-        calib = [calib_list[0]]
-    else:  # noise fallback: 1.25x scale headroom (see docstring)
-        calib = [jax.random.uniform(jax.random.key(0),
-                                    (1, h, w, channels), jnp.float32)]
-    if self_ensemble:
-        calib = _expand_calib_d4(calib)
+    before jax.export traces with abstract shapes (the scales must be
+    constants — calibrating under an abstract trace would concretize
+    tracers and fail).
+
+    With a calib corpus: the exact-graph path (make_quantized_predict)
+    already calibrated eagerly in its constructor (calibrate() then
+    no-ops), and the fused-tail paths defer corpus calibration to the
+    first calibrate() call, which IGNORES its argument in favor of the
+    stored corpus — either way calib_list here is only the trigger.
+    Without a corpus: calibrate on noise with the 1.25x headroom,
+    D4-expanded for ensemble artifacts (ADVICE r3)."""
+    if calib_list is None:  # noise fallback: 1.25x scale headroom
+        calib_list = [jax.random.uniform(jax.random.key(0),
+                                         (1, h, w, channels), jnp.float32)]
+        if self_ensemble:
+            calib_list = _expand_calib_d4(calib_list)
     if hasattr(predict, "calibrate"):
-        predict.calibrate(calib)
+        predict.calibrate(calib_list)
     else:
-        predict(calib[0])
+        predict(calib_list[0])
+
+
+def _prep_export(model_name, params_path, scale_factor, num_channels,
+                 dtype, fused, cfg_overrides, quantize, calib_input,
+                 output_u8, self_ensemble, trained_scale):
+    """Shared preamble of export_predict and export_bundle: calibration
+    normalization + D4 expansion, the headroom rule, and the predict
+    build. ONE place so the calibration/ensemble ordering cannot drift
+    between the single-artifact and bundle paths."""
+    calib_list = None
+    if calib_input is not None:
+        calib_list = ([jnp.asarray(b, jnp.float32) for b in calib_input]
+                      if isinstance(calib_input, (list, tuple))
+                      else [jnp.asarray(calib_input, jnp.float32)])
+    if self_ensemble and calib_list is not None:
+        calib_list = _expand_calib_d4(calib_list)
+    predict, channels = _build_predict(
+        model_name, params_path, scale_factor, num_channels, dtype, fused,
+        cfg_overrides, quantize,
+        calib_headroom=1.0 if calib_input is not None else 1.25,
+        # ensemble members must stay float: the wrapper averages in f32
+        # and quantizes once at the end (sr.infer does the same)
+        output_u8=output_u8 and not self_ensemble,
+        calib_batches=calib_list, trained_scale=trained_scale)
+    return predict, channels, calib_list
+
+
+def _lower(predict, h, w, channels, symbolic_batch, platforms):
+    """Lower a concrete-spatial-shape predict to an Exported (shared by
+    export_predict and every bundle bucket)."""
+    from jax import export as jex
+
+    if symbolic_batch:
+        (b,) = jex.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((b, h, w, channels), jnp.float32)
+    else:
+        spec = jax.ShapeDtypeStruct((1, h, w, channels), jnp.float32)
+    kwargs = {"platforms": platforms} if platforms else {}
+    return jex.export(jax.jit(predict), **kwargs)(spec)
 
 
 def export_predict(
@@ -151,23 +197,10 @@ def export_predict(
     covers all 8 variants' activation ranges. Returns a
     ``jax.export.Exported``.
     """
-    from jax import export as jex
-
-    calib_list = None
-    if calib_input is not None:
-        calib_list = ([jnp.asarray(b, jnp.float32) for b in calib_input]
-                      if isinstance(calib_input, (list, tuple))
-                      else [jnp.asarray(calib_input, jnp.float32)])
-    if self_ensemble and calib_list is not None:
-        calib_list = _expand_calib_d4(calib_list)
-    predict, channels = _build_predict(
+    predict, channels, calib_list = _prep_export(
         model_name, params_path, scale_factor, num_channels, dtype, fused,
-        cfg_overrides, quantize,
-        calib_headroom=1.0 if calib_input is not None else 1.25,
-        # ensemble members must stay float: the wrapper averages in f32
-        # and quantizes once at the end (sr.infer does the same)
-        output_u8=output_u8 and not self_ensemble,
-        calib_batches=calib_list, trained_scale=trained_scale)
+        cfg_overrides, quantize, calib_input, output_u8, self_ensemble,
+        trained_scale)
     h, w = (lr_size, lr_size) if isinstance(lr_size, int) else lr_size
     if quantize == "static":
         # the lazy predict calibrates on its first (concrete) batch —
@@ -179,13 +212,7 @@ def export_predict(
 
         predict = make_self_ensemble_predict(predict, output_u8=output_u8,
                                              fuse=True)
-    if symbolic_batch:
-        (b,) = jex.symbolic_shape("b")
-        spec = jax.ShapeDtypeStruct((b, h, w, channels), jnp.float32)
-    else:
-        spec = jax.ShapeDtypeStruct((1, h, w, channels), jnp.float32)
-    kwargs = {"platforms": platforms} if platforms else {}
-    return jex.export(jax.jit(predict), **kwargs)(spec)
+    return _lower(predict, h, w, channels, symbolic_batch, platforms)
 
 
 def save_artifact(path: str, exported) -> None:
@@ -229,24 +256,16 @@ def export_bundle(
     recorded in the bundle metadata so the server reports it.
     Returns ``(meta, exports)`` for :func:`save_bundle`.
     """
-    from jax import export as jex
-
-    calib_list = None
-    if calib_input is not None:
-        calib_list = ([jnp.asarray(b, jnp.float32) for b in calib_input]
-                      if isinstance(calib_input, (list, tuple))
-                      else [jnp.asarray(calib_input, jnp.float32)])
-    if self_ensemble and calib_list is not None:
-        calib_list = _expand_calib_d4(calib_list)
-    predict, channels = _build_predict(
+    predict, channels, calib_list = _prep_export(
         model_name, params_path, scale_factor, num_channels, dtype, fused,
-        cfg_overrides, quantize,
-        calib_headroom=1.0 if calib_input is not None else 1.25,
-        output_u8=output_u8 and not self_ensemble,
-        calib_batches=calib_list, trained_scale=trained_scale)
+        cfg_overrides, quantize, calib_input, output_u8, self_ensemble,
+        trained_scale)
+    # normalize every size to an (h, w) tuple BEFORE sorting: a mix of
+    # ints and tuples (both valid per-bucket) breaks sorted()/set()
+    sizes = sorted({(s, s) if isinstance(s, int) else tuple(s)
+                    for s in lr_sizes})
     exports, buckets = [], []
-    for size in sorted(set(lr_sizes)):
-        h, w = (size, size) if isinstance(size, int) else size
+    for h, w in sizes:
         if quantize == "static" and not exports:
             # warm the lazy static predict on the smallest bucket (with
             # calib_list set, the build calibrates on the whole corpus;
@@ -258,14 +277,8 @@ def export_bundle(
 
             predict = make_self_ensemble_predict(
                 predict, output_u8=output_u8, fuse=True)
-        if symbolic_batch:
-            (b,) = jex.symbolic_shape("b")
-            spec = jax.ShapeDtypeStruct((b, h, w, channels), jnp.float32)
-        else:
-            spec = jax.ShapeDtypeStruct((1, h, w, channels), jnp.float32)
-        kwargs = {"platforms": platforms} if platforms else {}
-        exp = jex.export(jax.jit(predict), **kwargs)(spec)
-        exports.append(exp)
+        exports.append(
+            _lower(predict, h, w, channels, symbolic_batch, platforms))
         buckets.append({"h": h, "w": w})
     net_scale = exports[0].out_avals[0].shape[1] // exports[0].in_avals[0].shape[1]
     meta = {

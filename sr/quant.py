@@ -170,26 +170,12 @@ def _eligible_deconv(m, args) -> bool:
         return False
 
 
-def calibrate_scales(model: nn.Module, variables: dict, x: jax.Array,
-                     headroom: float = 1.0, per_channel: bool = True,
-                     **apply_kwargs) -> dict[str, Any]:
-    """One jitted f32 forward that records each eligible conv site's
-    input amax; returns ``{module-path: scale}`` for the static int8
-    path. Sites visited more than once under one trace (shared/looped
-    modules) keep the max. ``headroom`` multiplies every scale (1.0 =
-    exact calibration amax; >1 trades grid resolution for clip
-    margin).
+def _make_capture(model: nn.Module, per_channel: bool, apply_kwargs: dict):
+    """Build the amax-capture forward for :func:`calibrate_scales`.
+    ``variables`` is an ARGUMENT (not a closure constant) so one jitted
+    program serves every same-shaped calibration batch."""
 
-    ``per_channel`` (default): the scale is a per-input-CHANNEL ``(C,)``
-    vector instead of one float — strictly finer quantization at zero
-    runtime cost, because ``int8_conv`` folds the channel scales into
-    the (already per-output-channel) weight quantization and the
-    activation quantize stays one fused elementwise op. This is what
-    keeps static-mode PSNR at dynamic-mode level (per-tensor static
-    measured up to −2.2 dB on trained EDSR whose channel ranges differ
-    wildly — RESULTS.md int8 columns)."""
-
-    def _capture(x):
+    def _capture(variables, x):
         captured: dict[str, jax.Array] = {}
         # convs inside lax/nn.scan bodies (DRCN's recursion) would
         # capture scan-body tracers that cannot escape their trace —
@@ -217,7 +203,56 @@ def calibrate_scales(model: nn.Module, variables: dict, x: jax.Array,
             model.apply(variables, x, **apply_kwargs)
         return captured
 
-    out = jax.jit(_capture)(x)
+    return _capture
+
+
+# jitted capture programs keyed on (model, per_channel, apply_kwargs):
+# wrapping a FRESH closure in jax.jit per calibrate_scales call meant
+# corpus calibration (calibrate_scales_batches) and D4 calibration
+# recompiled the identical forward once per batch — 40-200 s per remote
+# compile in relay environments (round-4 review finding). flax Modules
+# are frozen dataclasses (hashable); unhashable edge cases fall back to
+# an uncached build at the call site.
+_CAPTURE_CACHE: dict = {}
+_CAPTURE_LOCK = threading.Lock()
+
+
+def _capture_program(model: nn.Module, per_channel: bool,
+                     apply_kw_items: tuple):
+    key = (model, per_channel, apply_kw_items)
+    with _CAPTURE_LOCK:
+        fn = _CAPTURE_CACHE.get(key)  # may raise TypeError (unhashable)
+        if fn is None:
+            fn = jax.jit(
+                _make_capture(model, per_channel, dict(apply_kw_items)))
+            _CAPTURE_CACHE[key] = fn
+    return fn
+
+
+def calibrate_scales(model: nn.Module, variables: dict, x: jax.Array,
+                     headroom: float = 1.0, per_channel: bool = True,
+                     **apply_kwargs) -> dict[str, Any]:
+    """One jitted f32 forward that records each eligible conv site's
+    input amax; returns ``{module-path: scale}`` for the static int8
+    path. Sites visited more than once under one trace (shared/looped
+    modules) keep the max. ``headroom`` multiplies every scale (1.0 =
+    exact calibration amax; >1 trades grid resolution for clip
+    margin).
+
+    ``per_channel`` (default): the scale is a per-input-CHANNEL ``(C,)``
+    vector instead of one float — strictly finer quantization at zero
+    runtime cost, because ``int8_conv`` folds the channel scales into
+    the (already per-output-channel) weight quantization and the
+    activation quantize stays one fused elementwise op. This is what
+    keeps static-mode PSNR at dynamic-mode level (per-tensor static
+    measured up to −2.2 dB on trained EDSR whose channel ranges differ
+    wildly — RESULTS.md int8 columns)."""
+    try:
+        fn = _capture_program(model, per_channel,
+                              tuple(sorted(apply_kwargs.items())))
+    except TypeError:  # unhashable model field / kwarg: uncached build
+        fn = jax.jit(_make_capture(model, per_channel, apply_kwargs))
+    out = fn(variables, x)
     # ONE device->host transfer for all sites: per-scalar float() would
     # pay the relay's ~25 ms round trip per conv site (~1 s on EDSR)
     keys = list(out)

@@ -155,11 +155,18 @@ class GANTrainer:
             # (reference: srgan.py uses G(lr).detach() with the model in
             # train mode) — D must classify the same fake distribution
             # the G update optimizes, i.e. batch-stat BN output
-            fake, g_bs = _apply(
+            fake, _ = _apply(
                 g_model, g_state.params, g_state.batch_stats, batch["lr"], True
             )
             fake = jax.lax.stop_gradient(fake)
-            g_state = g_state.replace(batch_stats=g_bs)
+            # the detached forward's mutated batch_stats are DISCARDED:
+            # the reference computes G(lr) once per iteration (one BN
+            # running-stat update), while keeping this g_bs and then
+            # applying the G-update forward's stats advanced the stats
+            # twice per step on the same batch — doubled effective BN
+            # momentum, drifting eval-mode outputs from parity (round-4
+            # review finding). fake's VALUES are batch-stat normalized
+            # and unaffected.
             (d_loss, d_bs), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True
             )(d_state.params, d_state.batch_stats, fake, batch["hr"])

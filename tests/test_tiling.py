@@ -115,3 +115,48 @@ def test_sharded_predict_static_int8_matches():
     single = np.asarray(fn(x))
     out = np.asarray(sharded_predict(fn, x, mesh))
     np.testing.assert_allclose(out, single, rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_cache_evicts_and_reuses():
+    """Cache hygiene (round-4 review): (1) entries must actually die
+    with their owner — the cached closure may not hold a strong ref
+    back to its weak key (value→key chains make entries immortal);
+    (2) bound methods must HIT the cache across attribute accesses
+    (each access creates a fresh, equal-but-ephemeral method object —
+    keying must anchor on __self__)."""
+    import gc
+
+    from sr.eval.tiling import _SHARDED_CACHE
+
+    mesh = make_mesh((1, 8), ("data", "spatial"))
+    x = jnp.ones((1, 16, 16, 1), jnp.float32)
+
+    class Owner:
+        def predict(self, z):
+            return z * 2.0
+
+    _SHARDED_CACHE.clear()
+    o = Owner()
+    np.testing.assert_allclose(
+        np.asarray(sharded_predict(o.predict, x, mesh)), 2.0)
+    assert len(_SHARDED_CACHE) == 1
+    # second access = a fresh bound-method object; must reuse the entry
+    inner = next(iter(_SHARDED_CACHE.values()))
+    run_before = dict(inner)
+    sharded_predict(o.predict, x, mesh)
+    assert len(_SHARDED_CACHE) == 1
+    assert dict(next(iter(_SHARDED_CACHE.values()))) == run_before
+    # owner death must evict (no immortal value->key chain)
+    del o
+    gc.collect()
+    assert len(_SHARDED_CACHE) == 0
+
+    def plain(z):
+        return z + 1.0
+
+    np.testing.assert_allclose(
+        np.asarray(sharded_predict(plain, x, mesh)), 2.0)
+    assert len(_SHARDED_CACHE) == 1
+    del plain
+    gc.collect()
+    assert len(_SHARDED_CACHE) == 0
