@@ -60,7 +60,7 @@ def main() -> None:
         return min(times)
 
     out = {"model": model_name, "K": K, "crop": 64, "batch": 32}
-    for mode in ("item", "batch"):
+    for mode in ("item", "batch", "matrix"):
         pipe = PatchPipeline(images, crop_size=64, scale_factor=4,
                              batch_size=32, channels=channels,
                              pre_upsample=spec.pre_upsample,

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sr.kernels.bicubic import resize2d
+from sr.kernels.bicubic import resize2d, resize_matrix
 
 RANDOM_SCALES = (1.0, 0.9, 0.8, 0.7, 0.6, 0.5)
 
@@ -89,15 +89,20 @@ class PatchPipeline:
     channels: int = 3
     augment: bool = True
     random_scale: bool = True
-    # 'item' draws the random-scale per sample (reference behavior,
-    # default); 'batch' draws once per batch — the switch predicate is
-    # then unbatched, so XLA keeps a true branch (one resize instead of
-    # all six under vmap). MEASURED (K=100 scan-fused single-dispatch,
-    # min-of-3, ESPCN ×4 crop 64 b32): batch 2144 vs item 1560 steps/s
-    # (1.37×) — prefer 'batch' for small models where the sampler is a
-    # large share of the step (~40% for ESPCN, ~9% for EDSR; PERF.md).
-    # An earlier wall-clock A/B concluded the opposite; that reading was
-    # a relay measurement artifact (PERF.md method caveats).
+    # 'item' draws the random-scale per sample (reference behavior) via
+    # lax.switch — but under vmap the predicate is batched, so XLA
+    # computes ALL six resize branches per sample and selects. 'batch'
+    # draws once per batch (the predicate is unbatched → one true
+    # branch; MEASURED 1.37× on ESPCN — PERF.md) at the cost of a
+    # behavioral delta. 'matrix' keeps the per-item draw but moves the
+    # branching from DATA to WEIGHTS: the bank is edge-padded by
+    # (max_patch − crop), every sample slices one max_patch square, and
+    # the scale draw selects a zero-padded (crop, max_patch)
+    # Pillow-parity resize matrix — the six branches collapse into one
+    # batched matmul pair (MXU) with the same per-sample position/scale
+    # distribution as 'item' (positions are drawn over the ORIGINAL
+    # image extent with a dynamic upper bound; padded rows/cols carry
+    # zero weight, so the result is numerically the item-mode resize).
     random_scale_mode: str = "item"
     pre_upsample: bool = False
     # multi-scale training (VDSR/DRCN are multi-scale-capable —
@@ -132,9 +137,9 @@ class PatchPipeline:
             )
         if self.crop_size % self.scale_factor:
             raise ValueError("crop_size must divide by scale_factor")
-        if self.random_scale_mode not in ("item", "batch"):
+        if self.random_scale_mode not in ("item", "batch", "matrix"):
             raise ValueError(
-                f"random_scale_mode must be 'item' or 'batch', "
+                f"random_scale_mode must be 'item', 'batch' or 'matrix', "
                 f"got {self.random_scale_mode!r}"
             )
         if self.scale_factors:
@@ -146,6 +151,19 @@ class PatchPipeline:
             for r in self.scale_factors:
                 if self.crop_size % r:
                     raise ValueError(f"crop_size must divide by scale {r}")
+        if self.random_scale_mode == "matrix" and self.random_scale:
+            # edge-pad so a max_patch slice starting anywhere in the
+            # ORIGINAL position range [0, dim - patch_size] stays in
+            # bounds; padded rows/cols are never read (zero weight in
+            # the selected resize matrix), the padding only prevents
+            # dynamic_slice's start-clamping from skewing the position
+            # distribution near the bottom/right borders
+            sizes = [min(int(round(self.crop_size / s)), min(h, w))
+                     for s in RANDOM_SCALES]
+            pad = max(sizes) - min(sizes)
+            if pad:
+                bank = np.pad(bank, ((0, 0), (0, pad), (0, pad), (0, 0)),
+                              mode="edge")
         self._bank = jax.device_put(bank)
         self._sample = jax.jit(self._make_sampler(n, h, w))
 
@@ -157,6 +175,19 @@ class PatchPipeline:
         scales = RANDOM_SCALES if self.random_scale else (1.0,)
         # static source-patch size per scale branch
         patch_sizes = [min(int(round(crop / s)), min(h, w)) for s in scales]
+        matrix_mode = self.random_scale_mode == "matrix" and len(scales) > 1
+        if matrix_mode:
+            # one (crop, max_patch) Pillow-parity resize matrix per
+            # scale, zero-padded past each scale's true patch size; the
+            # per-sample scale draw selects a MATRIX (tiny) instead of a
+            # lax.switch branch on DATA, so vmap lowers the whole batch
+            # to one matmul pair instead of all six resizes + select
+            max_p = max(patch_sizes)
+            w_np = np.zeros((len(scales), crop, max_p), np.float32)
+            for i, p in enumerate(patch_sizes):
+                w_np[i, :, :p] = resize_matrix(p, crop)
+            w_stack = jnp.asarray(w_np)
+            p_arr = jnp.asarray(patch_sizes, jnp.int32)
 
         def one(bank, key, s_idx):
             ks = jax.random.split(key, 6)
@@ -177,7 +208,29 @@ class PatchPipeline:
 
                 return fn
 
-            if len(scales) > 1:
+            if matrix_mode:
+                # same key splits and the same uniform position range
+                # [0, dim - p] as the item-mode branches (the randint
+                # bound is traced; the slice itself is max_p-static)
+                ky, kx = jax.random.split(ks[2])
+                p = p_arr[s_idx]
+                top = jax.random.randint(ky, (), 0, h - p + 1)
+                left = jax.random.randint(kx, (), 0, w - p + 1)
+                patch = jax.lax.dynamic_slice(
+                    img, (top, left, 0), (max_p, max_p, self.channels)
+                ).astype(jnp.float32)
+                m = w_stack[s_idx]
+                # width pass → clip → height pass, matching resize2d's
+                # pass order and Pillow's intermediate [0,255] clamp
+                t = jnp.clip(
+                    jnp.einsum("ow,hwc->hoc", m, patch,
+                               preferred_element_type=jnp.float32),
+                    0.0, 255.0)
+                hr = jnp.clip(
+                    jnp.einsum("oh,hwc->owc", m, t,
+                               preferred_element_type=jnp.float32),
+                    0.0, 255.0)
+            elif len(scales) > 1:
                 hr = jax.lax.switch(
                     s_idx, [crop_branch(p) for p in patch_sizes], ks[2]
                 )

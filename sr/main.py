@@ -70,9 +70,14 @@ def parse_args(argv=None) -> SRConfig:
                    help="VDSR adjustable-clip θ (0.05 measured best; 0.4 "
                         "= literal reference recipe)")
     p.add_argument("--random_scale_mode", default=d.random_scale_mode,
-                   choices=["item", "batch"],
-                   help="sampler scale draw: per item (reference) or per "
-                        "batch (1.37x faster stepping for small models)")
+                   choices=["item", "batch", "matrix"],
+                   help="sampler scale draw: 'item' = per sample via "
+                        "lax.switch (reference; vmap computes all six "
+                        "resize branches), 'batch' = once per batch "
+                        "(1.37x faster stepping for small models, "
+                        "behavioral delta), 'matrix' = per sample via "
+                        "selected resize matrices (item semantics, one "
+                        "batched matmul instead of six branches)")
     p.add_argument("--preshuffle_loss", action="store_true",
                    help="train tail-shuffle models (ESPCN/EDSR) in "
                         "pre-shuffle space: exact same loss, the final "

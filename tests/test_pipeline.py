@@ -131,3 +131,59 @@ def test_synthetic_cannot_be_concatenated():
 
     with pytest.raises(ValueError, match="standalone"):
         get_training_set("/tmp", ["synthetic", "other"])
+
+
+def test_matrix_mode_equals_item_mode():
+    """'matrix' random-scale mode must reproduce 'item' mode exactly:
+    same key splits, same uniform position range (traced randint bound),
+    and the zero-padded resize-matrix pair is numerically the item-mode
+    per-branch resize (padded rows/cols carry zero weight; +0.0 terms
+    are exact in f32)."""
+    imgs = _images(n=4, size=(96, 96), c=3)
+    kw = dict(crop_size=32, scale_factor=4, batch_size=16, channels=3,
+              pre_upsample=True)
+    item = PatchPipeline(imgs, random_scale_mode="item", **kw)
+    matrix = PatchPipeline(imgs, random_scale_mode="matrix", **kw)
+    a = item(jax.random.key(3))
+    b = matrix(jax.random.key(3))
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), rtol=0, atol=1e-5,
+            err_msg=k)
+
+
+def test_matrix_mode_bank_padding_and_positions():
+    """The padded bank must not leak into samples: with the scale fixed
+    (single-image corpus of a linear ramp), every matrix-mode patch's
+    values must exist in the ORIGINAL image range."""
+    ramp = (np.arange(96 * 96, dtype=np.float64).reshape(96, 96) % 251
+            ).astype(np.uint8)[..., None]
+    pipe = PatchPipeline([np.repeat(ramp, 3, axis=2)], crop_size=32,
+                         scale_factor=4, batch_size=8, channels=3,
+                         augment=False, random_scale_mode="matrix")
+    # padded bank holds the edge-padded copies
+    assert pipe.bank.shape[1] > 96 and pipe.bank.shape[2] > 96
+    b = pipe(jax.random.key(0))
+    arr = np.asarray(b["hr"])
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+    assert b["hr"].shape == (8, 32, 32, 3)
+
+
+def test_matrix_mode_in_scan_fused_step():
+    """sample_fn must stay scan/jit-safe in matrix mode (traced randint
+    bounds inside a multi-step program)."""
+    import jax.numpy as jnp
+
+    pipe = PatchPipeline(_images(), crop_size=32, scale_factor=4,
+                         batch_size=4, channels=3,
+                         random_scale_mode="matrix")
+
+    def body(key, _):
+        key, sub = jax.random.split(key)
+        batch = pipe.sample_fn(pipe.bank, sub)
+        return key, jnp.mean(batch["hr"])
+
+    _, means = jax.lax.scan(body, jax.random.key(0), None, length=3)
+    m = np.asarray(means)
+    assert np.all(np.isfinite(m)) and np.all(m > 0)
