@@ -27,7 +27,8 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
             crop: int = 0, ensemble_eval: bool = False,
             overrides: dict | None = None,
             device_metrics: bool = True,
-            save_params_path: str | None = None) -> dict:
+            save_params_path: str | None = None,
+            skip_eval: bool = False) -> dict:
     from sr.data.datasets import get_training_set
     from sr.data.pipeline import build_patch_pipeline
     from sr.eval.runner import evaluate
@@ -108,6 +109,16 @@ def run_one(name: str, steps: int, train_ds: str, test_ds: str,
         ppath = save_params_path.replace("{model}", name)
         _save_params(ppath, q_vars["params"], q_vars.get("batch_stats"))
         print(f"[zoo] saved trained params -> {ppath}", flush=True)
+
+    if skip_eval:
+        # train-only mode: at paper width the in-process eval compile is
+        # the hang-prone part (a killed client leaves the remote wedged —
+        # CLAUDE.md); evaluate from the saved params via eval_saved.py in
+        # separate processes instead
+        return {"model": name, "steps": steps,
+                "train_s": round(time.time() - t0, 1),
+                "params": save_params_path and
+                save_params_path.replace("{model}", name)}
 
     from sr.data.datasets import get_test_set
 
@@ -208,6 +219,10 @@ def main():
                         "before eval; '{model}' expands to the model "
                         "name. Insurance against eval-phase relay "
                         "hangs: weights survive a killed eval.")
+    p.add_argument("--skip_eval", action="store_true",
+                   help="train + save_params only, no in-process eval "
+                        "(use eval_saved.py per variant — hang "
+                        "insurance for paper-width compiles)")
     p.add_argument("--host_metrics", action="store_true",
                    help="compute eval metrics on host from fetched "
                         "images (default: on-device scalars — the relay "
@@ -230,7 +245,8 @@ def main():
                         a.quant_eval, a.crop, a.ensemble_eval,
                         overrides or None,
                         device_metrics=not a.host_metrics,
-                        save_params_path=a.save_params)
+                        save_params_path=a.save_params,
+                        skip_eval=a.skip_eval)
             )
         except Exception as e:  # noqa: BLE001
             print(f"[zoo] {name} FAILED: {e}", file=sys.stderr, flush=True)

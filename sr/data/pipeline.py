@@ -103,7 +103,7 @@ class PatchPipeline:
     # distribution as 'item' (positions are drawn over the ORIGINAL
     # image extent with a dynamic upper bound; padded rows/cols carry
     # zero weight, so the result is numerically the item-mode resize).
-    random_scale_mode: str = "item"
+    random_scale_mode: str = "matrix"
     pre_upsample: bool = False
     # multi-scale training (VDSR/DRCN are multi-scale-capable —
     # reference: vdsr.py trains one net for ×2/×3/×4): each sample draws
@@ -339,7 +339,7 @@ def build_patch_pipeline(cfg, spec, images: list[np.ndarray]) -> PatchPipeline:
         batch_size=cfg.batch_size, channels=cfg.num_channels,
         pre_upsample=spec.pre_upsample, random_scale=random_scale,
         scale_factors=scale_factors,
-        random_scale_mode=getattr(cfg, "random_scale_mode", "item"),
+        random_scale_mode=getattr(cfg, "random_scale_mode", "matrix"),
     )
 
 

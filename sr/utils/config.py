@@ -34,10 +34,14 @@ class SRConfig:
     train_dataset: str = "bsds300"
     test_dataset: str = "Set5"
     num_threads: int = 0  # kept for CLI parity; the pipeline is on-device
-    # sampler random-scale draw: 'item' (reference behavior, per sample)
-    # or 'batch' (one draw per batch — measured 1.37x faster stepping for
-    # small models where the sampler dominates, e.g. ESPCN; PERF.md)
-    random_scale_mode: str = "item"
+    # sampler random-scale draw: 'matrix' (default — per-item reference
+    # semantics, numerically the item-mode resize, but the scale draw
+    # selects a resize MATRIX instead of a data branch so vmap lowers to
+    # one matmul pair; measured fastest of the three modes — PERF.md
+    # "matrix sampler"), 'item' (the literal reference lowering, one
+    # lax.switch per sample), or 'batch' (one draw per batch — a
+    # behavioral delta, kept for A/Bs)
+    random_scale_mode: str = "matrix"
 
     # -- model hyperparameters (per-model defaults applied by registry) --
     base_filter: int = 64
