@@ -139,6 +139,13 @@ def tiled_predict(
 #     that keeps every key reachable forever (immortal entries — the
 #     exact unbounded growth the weak keying is meant to prevent).
 _SHARDED_CACHE = weakref.WeakKeyDictionary()
+# non-weakref-able callables (e.g. functools.partial) fall back to a
+# strong cache: retracing per call would mean one 40-200 s remote
+# compile PER IMAGE on a dataset eval in relay environments (ADVICE
+# r4). Keyed by id() with the callable held strongly in the value, so
+# the id cannot be reused while its entry is alive; growth is bounded
+# by the number of distinct fallback callables the process ever shards.
+_SHARDED_CACHE_STRONG: dict = {}
 
 
 def sharded_predict(predict_fn, x: jax.Array, mesh, axis: str = "spatial"):
@@ -162,8 +169,11 @@ def sharded_predict(predict_fn, x: jax.Array, mesh, axis: str = "spatial"):
         per_fn = _SHARDED_CACHE.setdefault(anchor, {})
         fn_ref = (weakref.WeakMethod(predict_fn) if is_method
                   else weakref.ref(predict_fn))
-    except TypeError:  # non-weakref-able callable: run uncached
-        per_fn, fn_ref = {}, (lambda _fn=predict_fn: _fn)
+    except TypeError:  # non-weakref-able callable: strong id-keyed cache
+        entry = _SHARDED_CACHE_STRONG.setdefault(
+            id(predict_fn), (predict_fn, {}))
+        assert entry[0] is predict_fn  # strong ref pins the id
+        per_fn, fn_ref = entry[1], (lambda _fn=predict_fn: _fn)
     run = per_fn.get(inner_key)
     if run is None:
         sh = NamedSharding(mesh, P(None, axis))

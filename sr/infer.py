@@ -146,16 +146,21 @@ def _load(model_name: str, params_path: str, params_mtime: float,
         variables["batch_stats"] = batch_stats
 
     if select_scale is not None and select_scale != scale_factor:
-        if fused or quantize:
-            # same contract as sr.export._build_predict: the fused/quant
-            # tail rewrites target the final single-output tail, not a
+        if quantize:
+            # same contract as sr.export._build_predict: the int8
+            # rewrites target the final single-output tail, not a
             # deep-supervised intermediate level — refusing beats
             # silently serving the float exact graph under a --quantize
             # flag the operator believes is active
             raise ValueError(
                 "net_scale (pyramid level serving) does not compose "
-                "with fused/quantize — serve the exact level graph "
-                "(drop --fused/--quantize) or the full-scale output")
+                "with quantize — serve the exact level graph "
+                "(drop --quantize) or the full-scale output")
+        # fused=True is a where-supported hint (make_serving_predict
+        # runs the exact graph for models without a PS tail); pyramid
+        # models (LapSRN) have no fused tail, so level serving under
+        # the serve default fused=True is the exact level graph — NOT
+        # an error (a 400 here made every default-flag /upscale fail)
         fn = make_pyramid_level_predict(model, variables, spec,
                                         scale_factor, select_scale,
                                         output_u8=output_u8)

@@ -215,6 +215,11 @@ def _make_capture(model: nn.Module, per_channel: bool, apply_kwargs: dict):
 # an uncached build at the call site.
 _CAPTURE_CACHE: dict = {}
 _CAPTURE_LOCK = threading.Lock()
+# LRU bound: long-lived serving/zoo processes calibrating many model
+# topologies must not accumulate compiled capture programs forever
+# (ADVICE r4); 16 comfortably covers a whole-zoo run's distinct
+# (model-config, per_channel, apply_kwargs) keys
+_CAPTURE_CACHE_MAX = 16
 
 
 def _capture_program(model: nn.Module, per_channel: bool,
@@ -226,6 +231,11 @@ def _capture_program(model: nn.Module, per_channel: bool,
             fn = jax.jit(
                 _make_capture(model, per_channel, dict(apply_kw_items)))
             _CAPTURE_CACHE[key] = fn
+        else:  # refresh recency (dict preserves insertion order)
+            _CAPTURE_CACHE.pop(key)
+            _CAPTURE_CACHE[key] = fn
+        while len(_CAPTURE_CACHE) > _CAPTURE_CACHE_MAX:
+            _CAPTURE_CACHE.pop(next(iter(_CAPTURE_CACHE)))
     return fn
 
 

@@ -71,6 +71,14 @@ class Trainer:
         # A/B (PERF.md): +2.9% ESPCN, 0.74x EDSR — opt-in, default off.
         self._preshuffle = None
         if cfg.preshuffle_loss and self.spec.preshuffle_train is not None:
+            # the pre-shuffle loss path returns batch_stats unchanged
+            # (loss_fn's new_bs = batch_stats): a BN-carrying model would
+            # silently freeze its running stats — enforce the invariant
+            # in code, not just the comment (ADVICE r4)
+            if self.spec.has_batchnorm:
+                raise ValueError(
+                    f"{self.spec.name}: preshuffle_loss does not support "
+                    "batchnorm models (batch stats would not advance)")
             self._preshuffle = self.spec.preshuffle_train(self.model)
 
     # -- state ------------------------------------------------------------

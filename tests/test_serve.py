@@ -63,6 +63,56 @@ def test_serve_model_mode_roundtrip(espcn_params):
         httpd.shutdown()
 
 
+def test_serve_pyramid_level_default_flags(tmp_path):
+    """LapSRN level serving under the SERVE DEFAULTS (fused=True):
+    pyramid models have no fused tail, so --net_scale must serve the
+    exact level graph, not 400 every /upscale (ADVICE r4 medium —
+    the old guard rejected fused=True although it guarded nothing)."""
+    cfg = SRConfig(model_name="LapSRN", num_channels=1, scale_factor=4,
+                   dtype="float32")
+    model = get_spec("LapSRN").make_model(cfg)
+    variables = model.init(jax.random.key(0),
+                           jax.numpy.zeros((1, 8, 8, 1)), train=False)
+    path = str(tmp_path / "LapSRN_params.npz")
+    save_params(path, variables["params"], variables.get("batch_stats"))
+
+    # serve the x2 level of a x4-trained net with DEFAULT flags
+    service = SRService(model_name="LapSRN", params=path,
+                        scale_factor=2, num_channels=1, net_scale=4)
+    httpd, port = serve_background(service)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        img = np.random.default_rng(0).integers(
+            0, 255, (16, 12, 3), np.uint8)
+        conn.request("POST", "/upscale", body=_png_bytes(img),
+                     headers={"Content-Type": "image/png"})
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        from PIL import Image
+
+        out = np.asarray(Image.open(io.BytesIO(resp.read())))
+        assert out.shape == (32, 24, 3)
+    finally:
+        httpd.shutdown()
+
+    # quantize + net_scale still refuses (int8 rewrites target the
+    # final tail) — the guard narrowed, it didn't vanish
+    q = SRService(model_name="LapSRN", params=path, scale_factor=2,
+                  num_channels=1, net_scale=4, quantize="static")
+    httpd, port = serve_background(q)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        img = np.random.default_rng(0).integers(
+            0, 255, (16, 12, 3), np.uint8)
+        conn.request("POST", "/upscale", body=_png_bytes(img),
+                     headers={"Content-Type": "image/png"})
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert b"quantize" in resp.read()
+    finally:
+        httpd.shutdown()
+
+
 def test_serve_model_mode_quantize_static(espcn_params):
     """--quantize static end-to-end over HTTP: first request calibrates,
     output stays a valid image close to the f32 serve."""
