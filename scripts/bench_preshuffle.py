@@ -61,7 +61,10 @@ def main() -> None:
                              pre_upsample=spec.pre_upsample,
                              random_scale_mode="batch")
         row = {}
-        for label, flag in (("normal", False), ("preshuffle", True)):
+        arms = [("normal", False), ("preshuffle", "last")]
+        if spec.preshuffle_train_full is not None:
+            arms.append(("preshuffle_full", "full"))
+        for label, flag in arms:
             cfg = SRConfig(model_name=name, scale_factor=4, crop_size=64,
                            batch_size=32, num_channels=channels,
                            dtype="bfloat16", steps_per_epoch=K,
@@ -74,6 +77,10 @@ def main() -> None:
         row["speedup"] = round(
             row["preshuffle"]["steps_per_s"] / row["normal"]["steps_per_s"], 3
         )
+        if "preshuffle_full" in row:
+            row["speedup_full"] = round(
+                row["preshuffle_full"]["steps_per_s"]
+                / row["normal"]["steps_per_s"], 3)
         out[name] = row
     print(json.dumps(out), flush=True)
 

@@ -213,6 +213,11 @@ def main():
     p.add_argument("--res_scale", type=float, default=None)
     p.add_argument("--num_recursions", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--adv_d_train_mode", action="store_true", default=None,
+                   help="run D in train mode (batch-stat BN) during G's "
+                        "adversarial pass — the reference's literal "
+                        "module state (PARITY delta 10 A/B arm; default "
+                        "is eval-mode D)")
     p.add_argument("--save_params", default=None,
                    help="save trained params (flattened .npz, "
                         "sr.utils.checkpoint.save_params) to this path "
@@ -230,7 +235,7 @@ def main():
     a = p.parse_args()
     overrides = {k: getattr(a, k) for k in
                  ("base_filter", "num_resblocks", "res_scale",
-                  "num_recursions", "lr")
+                  "num_recursions", "lr", "adv_d_train_mode")
                  if getattr(a, k) is not None}
 
     from sr.models.registry import available_models

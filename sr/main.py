@@ -78,13 +78,16 @@ def parse_args(argv=None) -> SRConfig:
                         "behavioral delta), 'matrix' = per sample via "
                         "selected resize matrices (item semantics, one "
                         "batched matmul instead of six branches)")
-    p.add_argument("--preshuffle_loss", action="store_true",
+    p.add_argument("--preshuffle_loss", nargs="?", const="last",
+                   default=False, choices=["last", "full"],
                    help="train tail-shuffle models (ESPCN/EDSR) in "
-                        "pre-shuffle space: exact same loss, the final "
-                        "depth_to_space never runs in fwd/bwd. Measured "
-                        "+2.9%% on ESPCN but 0.74x on EDSR (PERF.md "
-                        "pre-shuffle A/B) — only worth it for "
-                        "single-shuffle tails")
+                        "pre-shuffle space: exact same loss and grads. "
+                        "'last' (the bare-flag value) folds only the "
+                        "final shuffle (+2.9%% ESPCN, 0.74x EDSR — "
+                        "PERF.md round-4 A/B); 'full' folds EVERY tail "
+                        "conv through EVERY shuffle (EDSR) so all tail "
+                        "convs run at LR resolution with zero d2s "
+                        "copies in fwd+bwd (PERF.md round-5 A/B)")
     p.add_argument("--self_ensemble", action="store_true",
                    help="geometric self-ensemble at eval: average the 8 "
                         "D4 flip/rotation variants (the EDSR paper's '+' "

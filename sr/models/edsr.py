@@ -123,6 +123,74 @@ def _preshuffle_train(model):
     return apply_fn, r_last
 
 
+def _preshuffle_train_full(model):
+    """FULL-tail pre-shuffle training forward (VERDICT r4 #4): every
+    tail conv moved to LR resolution by repeatedly applying the exact
+    fold identity ``conv(d2s(x, r), W) = d2s(conv(x, fold(W, r)), r)``
+    (sr/kernels/shuffle_fold.py — border-exact, unlike the interior-only
+    impulse-probe collapse of sr/kernels/fused_tail.py, so gradients are
+    unchanged). For ×4 the tail becomes three 3×3 convs at LR
+    (64→256→1024→48) with ZERO depth_to_space copies in fwd+bwd — the
+    single-stage mode (``_preshuffle_train``) still paid the stage-1 d2s
+    copy and ran a 12-channel folded conv (its measured 0.74× on EDSR —
+    PERF.md round-4 pre-shuffle A/B names both causes). Output lives in
+    fully pre-shuffled space; the loss target is the matching
+    ``space_to_depth`` chain of ``hr`` (applied last-stage-first — the
+    inverse of the dropped shuffle chain).
+
+    Folded kernels are built in-graph from live params each step
+    (differentiable scatters; grads land in the original basis, Adam
+    state and checkpoints unchanged). All EDSR stage kernels are 3×3
+    with torch SAME padding, which the fold maps back to 3×3 SAME — the
+    symmetric-padding invariant is checked at trace time."""
+    import jax
+
+    from sr.kernels.depth_to_space import space_to_depth
+    from sr.kernels.shuffle_fold import fold_shuffle_conv_kernel_jnp
+
+    factors = _STAGES[model.scale_factor]
+
+    def apply_fn(variables, x, train=True):
+        h = model.apply(variables, x, train=train, method="body")
+        p = variables["params"]
+        convs = [p[f"upsample_{j}"]["Conv_0"] for j in range(len(factors))]
+        convs.append(p["out_conv"]["Conv_0"])
+        z = h
+        for j, blk in enumerate(convs):
+            w = blk["kernel"].astype(z.dtype)
+            k = w.shape[0]
+            pad_lo = pad_hi = k // 2
+            rep = 1
+            # fold conv j through every EARLIER stage's shuffle,
+            # innermost (j-1) first — see derivation in the docstring
+            for r_prev in reversed(factors[:j]):
+                if pad_lo != pad_hi:
+                    raise ValueError(
+                        "full-tail fold needs symmetric intermediate "
+                        f"padding, got ({pad_lo},{pad_hi})")
+                w, dmin = fold_shuffle_conv_kernel_jnp(
+                    w, r_prev, padding=pad_lo)
+                t = w.shape[0]
+                pad_lo, pad_hi = -dmin, t - 1 + dmin
+                rep *= r_prev * r_prev
+            z = jax.lax.conv_general_dilated(
+                z, w, (1, 1), ((pad_lo, pad_hi), (pad_lo, pad_hi)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            z = z + jnp.repeat(blk["bias"], rep).astype(z.dtype)
+        return z
+
+    def target_fn(hr):
+        # inverse of the dropped d2s chain: s2d by the LAST stage's
+        # factor first, then backwards to stage 0
+        z = hr
+        for r in reversed(factors):
+            z = space_to_depth(z, r)
+        return z
+
+    return apply_fn, target_fn
+
+
 SPEC = register(
     ModelSpec(
         name="EDSR",
@@ -139,5 +207,6 @@ SPEC = register(
         default_channels=3,
         default_lr=1e-4,
         preshuffle_train=_preshuffle_train,
+        preshuffle_train_full=_preshuffle_train_full,
     )
 )

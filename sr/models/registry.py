@@ -44,6 +44,13 @@ class ModelSpec:
     # the final depth_to_space never runs in fwd OR bwd
     # (cfg.preshuffle_loss; sr/kernels/shuffle_fold.py).
     preshuffle_train: Callable[[Any], tuple] | None = None
+    # FULL-tail variant (cfg.preshuffle_loss="full"): model →
+    # (apply_fn, target_fn) where apply_fn returns the FULLY
+    # pre-shuffled output (B, H, W, C·r²) at LR resolution — every tail
+    # conv folded through every shuffle, zero d2s copies in fwd+bwd —
+    # and target_fn(hr) is the matching space_to_depth chain
+    # (sr/models/edsr.py:_preshuffle_train_full).
+    preshuffle_train_full: Callable[[Any], tuple] | None = None
 
     def input_key(self) -> str:
         return "bc" if self.pre_upsample else "lr"

@@ -70,7 +70,10 @@ class Trainer:
         # (tests/test_train_fold.py locks step equivalence). Measured
         # A/B (PERF.md): +2.9% ESPCN, 0.74x EDSR — opt-in, default off.
         self._preshuffle = None
-        if cfg.preshuffle_loss and self.spec.preshuffle_train is not None:
+        want_full = cfg.preshuffle_loss == "full"
+        has_any = (self.spec.preshuffle_train is not None
+                   or self.spec.preshuffle_train_full is not None)
+        if cfg.preshuffle_loss and has_any:
             # the pre-shuffle loss path returns batch_stats unchanged
             # (loss_fn's new_bs = batch_stats): a BN-carrying model would
             # silently freeze its running stats — enforce the invariant
@@ -79,7 +82,17 @@ class Trainer:
                 raise ValueError(
                     f"{self.spec.name}: preshuffle_loss does not support "
                     "batchnorm models (batch stats would not advance)")
-            self._preshuffle = self.spec.preshuffle_train(self.model)
+            if want_full and self.spec.preshuffle_train_full is not None:
+                # (apply_fn, target_fn): full-tail fold, target is the
+                # model's own space_to_depth chain
+                self._preshuffle = self.spec.preshuffle_train_full(
+                    self.model)
+            elif self.spec.preshuffle_train is not None:
+                from sr.kernels.depth_to_space import space_to_depth
+
+                apply_pre, r_last = self.spec.preshuffle_train(self.model)
+                self._preshuffle = (
+                    apply_pre, lambda hr: space_to_depth(hr, r_last))
 
     # -- state ------------------------------------------------------------
 
@@ -113,14 +126,12 @@ class Trainer:
 
         def loss_fn(params, batch_stats, batch, step):
             if preshuffle is not None:
-                from sr.kernels.depth_to_space import space_to_depth
-
-                apply_pre, r_last = preshuffle
+                apply_pre, target_fn = preshuffle
                 out = apply_pre({"params": params}, batch[in_key], train=True)
                 new_bs = batch_stats  # eligible models carry no BN
                 # hr moves to pre-shuffle space instead (no grad side:
-                # one transpose XLA can fuse into the loss elementwise)
-                batch = {**batch, "hr": space_to_depth(batch["hr"], r_last)}
+                # layout ops XLA can fuse into the loss elementwise)
+                batch = {**batch, "hr": target_fn(batch["hr"])}
             else:
                 out, new_bs = _apply(
                     model, params, batch_stats, batch[in_key], True

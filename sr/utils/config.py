@@ -97,8 +97,11 @@ class SRConfig:
     # EDSR's out_conv folds exactly through the final shuffle), removing
     # the full-res depth_to_space layout copies from fwd+bwd
     # (~14% of the EDSR step in the round-4 backward attribution).
-    # Ignored by models without a trailing shuffle.
-    preshuffle_loss: bool = False
+    # Ignored by models without a trailing shuffle. "full" folds EVERY
+    # tail conv through EVERY shuffle (EDSR): all tail convs run at LR
+    # resolution with r²-wider channels and no d2s copies anywhere in
+    # fwd+bwd; the loss target is the matching space_to_depth chain.
+    preshuffle_loss: bool | str = False
 
     def replace(self, **kw) -> "SRConfig":
         return dataclasses.replace(self, **kw)

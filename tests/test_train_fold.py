@@ -74,6 +74,84 @@ def test_edsr_preshuffle_forward_is_s2d_of_forward(scale):
     )
 
 
+@pytest.mark.parametrize("scale", [4, 3, 2, 8])
+def test_edsr_full_fold_forward_is_s2d_chain_of_forward(scale):
+    """FULL-tail fold (cfg.preshuffle_loss='full'): apply_fn(v, x) ==
+    target_fn(model.apply(v, x)) with the output at LR resolution and
+    C·r² channels — every tail conv folded through every shuffle, exact
+    at every scale's stage structure including borders."""
+    spec, model, variables, x = _edsr(scale)
+    apply_full, target_fn = spec.preshuffle_train_full(model)
+    ref = jax.jit(lambda v, x: model.apply(v, x, train=True))(variables, x)
+    got = jax.jit(apply_full)(variables, x)
+    want = target_fn(ref)
+    assert got.shape == (2, 8, 8, 3 * scale * scale)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=3e-5
+    )
+
+
+@pytest.mark.parametrize("scale", [4, 8])
+def test_edsr_full_fold_loss_and_grads_match(scale):
+    """Full-fold step-equivalence: same L1 value and same param grads as
+    the normal path (each fold step is border-exact and the loss is a
+    permutation-invariant mean over the SAME set of elements)."""
+    spec, model, variables, x = _edsr(scale)
+    apply_full, target_fn = spec.preshuffle_train_full(model)
+    hr = jax.random.uniform(
+        jax.random.key(2), (2, 8 * scale, 8 * scale, 3)
+    )
+    hr_pre = target_fn(hr)
+
+    def loss_normal(params):
+        out = model.apply({"params": params}, x, train=True)
+        return jnp.mean(jnp.abs(out - hr))
+
+    def loss_full(params):
+        out = apply_full({"params": params}, x, train=True)
+        return jnp.mean(jnp.abs(out - hr_pre))
+
+    params = variables["params"]
+    l_n, g_n = jax.jit(jax.value_and_grad(loss_normal))(params)
+    l_f, g_f = jax.jit(jax.value_and_grad(loss_full))(params)
+    np.testing.assert_allclose(float(l_f), float(l_n), rtol=1e-6)
+    flat_n = jax.tree_util.tree_leaves_with_path(g_n)
+    flat_f = jax.tree_util.tree_leaves_with_path(g_f)
+    for (path_n, a), (path_f, b) in zip(flat_n, flat_f):
+        assert path_n == path_f
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path_n),
+        )
+
+
+def test_trainer_full_fold_step_equivalence():
+    """Trainer-level A/B: one fit epoch with preshuffle_loss='full'
+    lands on the same params as the normal path (donation-safe)."""
+    from sr.data.pipeline import PatchPipeline
+    from sr.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (48, 48, 3), np.uint8) for _ in range(2)]
+    kw = dict(model_name="EDSR", num_channels=3, scale_factor=4,
+              num_resblocks=2, crop_size=16, batch_size=4,
+              steps_per_epoch=3, num_epochs=1, dtype="float32")
+    states = {}
+    for mode in (False, "full"):
+        cfg = SRConfig(**kw, preshuffle_loss=mode)
+        pipe = PatchPipeline(imgs, crop_size=16, scale_factor=4,
+                             batch_size=4, channels=3, random_scale=False)
+        tr = Trainer(cfg)
+        b0 = pipe(jax.random.key(0))
+        state = tr.init_state(jax.random.key(1), b0["lr"][:1])
+        states[mode] = tr.fit(state, pipe)
+    for a, b in zip(jax.tree.leaves(states[False].params),
+                    jax.tree.leaves(states["full"].params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-6)
+
+
 def test_espcn_preshuffle_forward_is_s2d_of_forward():
     cfg = SRConfig(model_name="ESPCN", num_channels=1, scale_factor=3,
                    dtype="float32")
