@@ -39,9 +39,10 @@ srgan_evalmodeD)
     --train_dataset procedural --test_dataset procedural \
     --out results_srgan_trainmodeD_procedural.json ;;
 # x8 flagship-scale rows (LapSRN's signature regime + EDSR (2,2,2)):
-# 150k steps, crop 128, plain + '+' + int8 ladder
+# 100k steps (VERDICT #6 names 100-150k; 100k keeps the x2/x3 SSIM
+# backfill inside the round's wall clock), crop 128, + int8 ladder
 x8_flagship)
-  run x8_flagship 14400 python scripts/train_zoo.py --steps 150000 \
+  run x8_flagship 14400 python scripts/train_zoo.py --steps 100000 \
     --spd 100 --scale_factor 8 --crop 128 --models LapSRN EDSR \
     --train_dataset procedural --test_dataset procedural \
     --ensemble_eval --quant_eval \
