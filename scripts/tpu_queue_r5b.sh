@@ -30,6 +30,11 @@ case $stage in
 # FULL-tail fold A/B (normal vs 'last' vs 'full') — method of record
 fold_full)
   run fold_full 3600 python scripts/bench_preshuffle.py 100 EDSR ESPCN ;;
+# sampler share after the gather-augment rewrite (one D4 gather instead
+# of all-4-rotations-under-vmap) — same A/B as results_sampler_matrix_ab
+augment_ab)
+  run augment_ab_espcn 2400 python scripts/bench_train.py ESPCN 100
+  run augment_ab_edsr 2400 python scripts/bench_train.py EDSR 100 ;;
 # eval-mode-D vs train-mode-D on the PROCEDURAL benchmark (PARITY
 # delta 10's evidence was only on the retired saturated set); compare
 # against the rgb3ch SRGAN row (same recipe, eval-mode default)
