@@ -143,9 +143,12 @@ _SHARDED_CACHE = weakref.WeakKeyDictionary()
 # strong cache: retracing per call would mean one 40-200 s remote
 # compile PER IMAGE on a dataset eval in relay environments (ADVICE
 # r4). Keyed by id() with the callable held strongly in the value, so
-# the id cannot be reused while its entry is alive; growth is bounded
-# by the number of distinct fallback callables the process ever shards.
+# the id cannot be reused while its entry is alive. FIFO-bounded: a
+# caller that constructs a fresh partial PER CALL gets no hits either
+# way (each has a new id), and without the bound every such call would
+# pin its compiled executable forever.
 _SHARDED_CACHE_STRONG: dict = {}
+_SHARDED_CACHE_STRONG_MAX = 32
 
 
 def sharded_predict(predict_fn, x: jax.Array, mesh, axis: str = "spatial"):
@@ -173,6 +176,8 @@ def sharded_predict(predict_fn, x: jax.Array, mesh, axis: str = "spatial"):
         entry = _SHARDED_CACHE_STRONG.setdefault(
             id(predict_fn), (predict_fn, {}))
         assert entry[0] is predict_fn  # strong ref pins the id
+        while len(_SHARDED_CACHE_STRONG) > _SHARDED_CACHE_STRONG_MAX:
+            _SHARDED_CACHE_STRONG.pop(next(iter(_SHARDED_CACHE_STRONG)))
         per_fn, fn_ref = entry[1], (lambda _fn=predict_fn: _fn)
     run = per_fn.get(inner_key)
     if run is None:

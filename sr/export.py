@@ -63,11 +63,15 @@ def _build_predict(model_name: str, params_path: str, scale_factor: int,
     from sr.infer import make_pyramid_level_predict, make_serving_predict
 
     if build_scale != scale_factor:
-        if quantize or fused:
+        if quantize:
             raise ValueError(
                 "net_scale serves the exact pyramid graph; it does not "
-                "compose with --fused/--quantize (single-output tail "
-                "rewrites)")
+                "compose with --quantize (the int8 rewrites target the "
+                "final single-output tail)")
+        # fused=True is a where-supported hint (full-scale LapSRN under
+        # fused already exports the exact graph via make_serving_predict)
+        # — pyramid levels do the same instead of erroring, matching
+        # sr.infer/serve semantics
         return (make_pyramid_level_predict(model, variables, spec,
                                            build_scale, scale_factor,
                                            output_u8=output_u8),

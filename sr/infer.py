@@ -147,11 +147,11 @@ def _load(model_name: str, params_path: str, params_mtime: float,
 
     if select_scale is not None and select_scale != scale_factor:
         if quantize:
-            # same contract as sr.export._build_predict: the int8
-            # rewrites target the final single-output tail, not a
-            # deep-supervised intermediate level — refusing beats
-            # silently serving the float exact graph under a --quantize
-            # flag the operator believes is active
+            # same contract as sr.export._build_predict (quantize
+            # branch): the int8 rewrites target the final single-output
+            # tail, not a deep-supervised intermediate level — refusing
+            # beats silently serving the float exact graph under a
+            # --quantize flag the operator believes is active
             raise ValueError(
                 "net_scale (pyramid level serving) does not compose "
                 "with quantize — serve the exact level graph "

@@ -37,15 +37,16 @@ def test_cited_results_files_exist(doc):
         "only in /tmp)")
 
 
+_PERF_CITE = re.compile(r"PERF\.md (?:\"([^\"]+)\"|'([^']+)')")
+
+
 def test_perf_sections_cited_elsewhere_exist():
     perf = _doc_text("PERF.md")
     # STATUS.md and sr/quant.py cite PERF.md sections by quoted name
-    for src, pattern in [
-        ("STATUS.md", r"PERF\.md"),
-        (os.path.join("sr", "quant.py"), r"PERF\.md \"([^\"]+)\""),
-    ]:
+    for src in ["STATUS.md", os.path.join("sr", "quant.py")]:
         text = open(os.path.join(REPO, src)).read()
-        for m in re.findall(r"PERF\.md [\"']([^\"']+)[\"']", text):
-            assert m in perf, (
-                f"{src} cites PERF.md section {m!r} which PERF.md "
+        for m in _PERF_CITE.findall(text):
+            name = m[0] or m[1]
+            assert name in perf, (
+                f"{src} cites PERF.md section {name!r} which PERF.md "
                 "does not contain")
