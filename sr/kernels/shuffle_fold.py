@@ -104,9 +104,17 @@ def fold_shuffle_conv_kernel_jnp(kernel, r: int, padding: int | None = None):
     pre-shuffle space (the training-side d2s fold — PERF.md "known
     headroom") without touching checkpoints or Adam moments.
 
-    The scatter is k²·r² static ``.at[...].set`` updates of (C,N) slices
-    traced once per jit; per-step cost is a handful of tiny scatters on
-    the (T,T,C·r²,N·r²) kernel — negligible next to the conv itself.
+    Construction is scatter-free (round 5): inverting the fold map for
+    a fixed output phase α gives dy = r·Δ + i + (p − α + r·dmin) — for
+    each α the (Δ, i) tap table is one CONTIGUOUS window of the
+    zero-padded kernel, reshaped (t, r). The whole folded kernel is
+    therefore r static slices per spatial axis + one transpose/reshape
+    (≈2 copies of the folded buffer, slice-gradient backward). The
+    previous k²·r² strided ``.at[...].set`` chain serialized into
+    full-buffer passes per update — on the full-tail training fold
+    (256→1024-channel folded stages rebuilt from live params EVERY
+    step) the scatters alone dominated the step (PERF.md round-5
+    full-tail fold A/B).
     """
     k, k2, c, n = kernel.shape
     assert k == k2, "square kernels only"
@@ -116,25 +124,27 @@ def fold_shuffle_conv_kernel_jnp(kernel, r: int, padding: int | None = None):
     dmax = (r - 1 + k - 1 - p) // r
     t = dmax - dmin + 1
 
-    wf = jnp.zeros((t, t, c * r * r, n * r * r), kernel.dtype)
-    for alpha in range(r):
-        for dy in range(k):
-            ay = alpha + dy - p
-            delta_y, iy = ay // r, ay % r
-            for beta in range(r):
-                for dx in range(k):
-                    ax = beta + dx - p
-                    delta_x, ix = ax // r, ax % r
-                    # collision-free (see fold_shuffle_conv_kernel's
-                    # derivation: (Δ, phase-in, phase-out) determines the
-                    # source tap uniquely) → set, not add
-                    wf = wf.at[
-                        delta_y - dmin,
-                        delta_x - dmin,
-                        iy * r + ix :: r * r,
-                        alpha * r + beta :: r * r,
-                    ].set(kernel[dy, dx])
-    return wf, dmin
+    # per-phase window offsets into the dy axis; pad so every window
+    # [off, off + r·t) is in range, with out-of-kernel taps ZERO
+    offs = [p - a + r * dmin for a in range(r)]
+    pb = max(0, -min(offs))
+    pa = max(0, max(offs) + r * t - 1 - (k - 1))
+    kp = jnp.pad(kernel, ((pb, pa), (pb, pa), (0, 0), (0, 0)))
+    ky = kp.shape[0]
+    # y axis: stack the r windows → (α, Δy, iy, dx_padded, c, n)
+    w = jnp.stack([
+        jax.lax.slice_in_dim(kp, o + pb, o + pb + r * t, axis=0)
+        for o in offs
+    ]).reshape(r, t, r, ky, c, n)
+    # x axis likewise → (β, α, Δy, iy, Δx, ix, c, n)
+    w = jnp.stack([
+        jax.lax.slice_in_dim(w, o + pb, o + pb + r * t, axis=3)
+        for o in offs
+    ]).reshape(r, r, t, r, t, r, c, n)
+    # → (Δy, Δx, c, iy, ix, n, α, β): channel-in c·r²+iy·r+ix,
+    # channel-out n·r²+α·r+β (torch PixelShuffle order, as above)
+    w = w.transpose(2, 4, 6, 3, 5, 7, 1, 0)
+    return w.reshape(t, t, c * r * r, n * r * r), dmin
 
 
 def make_folded_tail_predict(model, variables):

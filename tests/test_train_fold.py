@@ -38,6 +38,23 @@ def test_fold_jnp_matches_numpy(r, k):
     np.testing.assert_array_equal(np.asarray(wf_j), wf_np)
 
 
+@pytest.mark.parametrize("r,k,pad", [
+    # explicit (incl. asymmetric-origin) paddings — the full-tail
+    # training fold re-folds already-folded kernels with the carried
+    # padding, so the non-default-pad branch is on the training path
+    (2, 3, 0), (2, 3, 2), (3, 3, 0), (4, 5, 1), (2, 2, 1), (8, 3, 1),
+])
+def test_fold_jnp_matches_numpy_explicit_padding(r, k, pad):
+    rng = np.random.default_rng(r * 100 + k * 10 + pad)
+    w = rng.standard_normal((k, k, 2, 3)).astype(np.float32)
+    wf_np, dmin_np = fold_shuffle_conv_kernel(w, r, pad)
+    wf_j, dmin_j = jax.jit(
+        lambda w: fold_shuffle_conv_kernel_jnp(w, r, pad)
+    )(jnp.asarray(w))
+    assert dmin_j == dmin_np
+    np.testing.assert_array_equal(np.asarray(wf_j), wf_np)
+
+
 def test_fold_jnp_grad_lands_in_original_basis():
     """d/dW of sum(fold(W)) counts each tap's k²-fold replication across
     phases — i.e. grads flow back through the scatter, one contribution
