@@ -238,34 +238,21 @@ class PatchPipeline:
                 hr = crop_branch(patch_sizes[0])(ks[2])
 
             if self.augment:
+                # vmap materializes all four rot90 branches (+ both flip
+                # arms) per sample and selects — but those are VECTORIZED
+                # layout ops, and the measured alternative (one D4 gather
+                # hr[iy, ix] from per-sample index maps, bit-exact) lost
+                # 0.69× on EDSR / worse on ESPCN on-chip: TPU dynamic
+                # gathers are slower than branch-materialized reverses/
+                # transposes at this size. Rejected with data — PERF.md
+                # "one-gather D4 augment A/B (rejected)".
                 k_rot = jax.random.randint(ks[3], (), 0, 4)
-                flip = jax.random.bernoulli(ks[4])
-                # BIT-EXACT index-map rewrite of
-                #   fliplr?(rot90(hr, k_rot)) from the same PRNG draws:
-                # under vmap a lax.switch with a batched predicate
-                # materializes ALL four rotations (+ both flip branches)
-                # per sample and selects — same pathology the 'matrix'
-                # scale mode fixed. The whole D4 element is one
-                # static-shape gather instead (locked equal to the
-                # rot90/fliplr formulation by
-                # tests/test_pipeline.py::test_augment_gather_is_d4).
-                # rot90(x,k)[i,j] reads x[iy,ix] with iy/ix drawn from
-                # (swap, fy, fx): swap for odd k, fy for k>=2,
-                # fx for k in {1,2}; a subsequent fliplr substitutes
-                # j→n-1-j, which toggles fx when the axes are NOT
-                # swapped but fy when they are.
-                swap = (k_rot % 2) == 1
-                fy = (k_rot >= 2) ^ (flip & swap)
-                fx = ((k_rot == 1) | (k_rot == 2)) ^ (
-                    flip & jnp.logical_not(swap))
-                ii = jnp.arange(crop)
-                yy = jnp.broadcast_to(ii[:, None], (crop, crop))
-                xx = jnp.broadcast_to(ii[None, :], (crop, crop))
-                iy = jnp.where(swap, xx, yy)
-                ix = jnp.where(swap, yy, xx)
-                iy = jnp.where(fy, crop - 1 - iy, iy)
-                ix = jnp.where(fx, crop - 1 - ix, ix)
-                hr = hr[iy, ix]
+                hr = jax.lax.switch(
+                    k_rot, [lambda x, i=i: jnp.rot90(x, k=i) for i in range(4)], hr
+                )
+                hr = jax.lax.cond(
+                    jax.random.bernoulli(ks[4]), lambda x: x[:, ::-1], lambda x: x, hr
+                )
             if self.scale_factors:
                 # per-sample scale draw; only bc (static shape) is exposed
                 def degrade(r):

@@ -46,38 +46,6 @@ def test_deterministic_per_key():
     assert np.abs(np.asarray(a["hr"]) - np.asarray(c["hr"])).max() > 0
 
 
-def test_augment_gather_is_d4():
-    """The sampler's one-gather augment is BIT-EQUAL to the reference
-    formulation fliplr?(rot90(x, k)) for all 8 (k, flip) combinations
-    (the gather replaces a lax.switch that materialized all four
-    rotations per sample under vmap)."""
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(0)
-    x = rng.standard_normal((9, 9, 3)).astype(np.float32)
-    n = x.shape[0]
-    for k in range(4):
-        for flip in (False, True):
-            want = np.rot90(x, k=k)
-            if flip:
-                want = want[:, ::-1]
-            k_rot = jnp.asarray(k)
-            fl = jnp.asarray(flip)
-            swap = (k_rot % 2) == 1
-            fy = (k_rot >= 2) ^ (fl & swap)
-            fx = ((k_rot == 1) | (k_rot == 2)) ^ (
-                fl & jnp.logical_not(swap))
-            ii = jnp.arange(n)
-            yy = jnp.broadcast_to(ii[:, None], (n, n))
-            xx = jnp.broadcast_to(ii[None, :], (n, n))
-            iy = jnp.where(swap, xx, yy)
-            ix = jnp.where(swap, yy, xx)
-            iy = jnp.where(fy, n - 1 - iy, iy)
-            ix = jnp.where(fx, n - 1 - ix, ix)
-            got = np.asarray(jnp.asarray(x)[iy, ix])
-            np.testing.assert_array_equal(got, want, err_msg=f"k={k} flip={flip}")
-
-
 def test_augment_covers_all_d4_elements():
     """Sampling the pipeline visits all 8 D4 orientations of a marked
     patch (single-image corpus of an asymmetric ramp, no random scale —
