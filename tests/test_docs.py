@@ -42,8 +42,9 @@ _PERF_CITE = re.compile(r"PERF\.md (?:\"([^\"]+)\"|'([^']+)')")
 
 def test_perf_sections_cited_elsewhere_exist():
     perf = _doc_text("PERF.md")
-    # STATUS.md and sr/quant.py cite PERF.md sections by quoted name
-    for src in ["STATUS.md", os.path.join("sr", "quant.py")]:
+    # docs and source files that cite PERF.md sections by quoted name
+    for src in ["STATUS.md", os.path.join("sr", "quant.py"),
+                os.path.join("sr", "data", "pipeline.py")]:
         text = open(os.path.join(REPO, src)).read()
         for m in _PERF_CITE.findall(text):
             name = m[0] or m[1]
