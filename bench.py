@@ -196,7 +196,42 @@ def train_bench() -> dict:
     return out
 
 
+def _wait_for_chip_idle(max_wait_s: float = 1200.0) -> None:
+    """Bounded wait for other TPU workloads to finish before timing.
+
+    The driver runs this benchmark at round end; if a queued zoo/eval
+    stage still holds the chip, a contended timing halves the headline.
+    Scan /proc (read-only) for OTHER python processes running the known
+    chip workloads and wait for them to exit — bounded, so a hung stage
+    can delay but never lose the benchmark."""
+    import os
+
+    markers = ("train_zoo.py", "eval_saved.py", "scripts/bench_",
+               "scripts/profile_")
+    me = os.getpid()
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        busy = []
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ").decode(errors="ignore")
+            except OSError:
+                continue
+            if "python" in cmd and any(m in cmd for m in markers):
+                busy.append((pid, cmd.strip()[:100]))
+        if not busy:
+            return
+        print(f"[bench] chip busy ({busy[0][1]} …) — waiting", file=sys.stderr)
+        time.sleep(30.0)
+    print("[bench] chip-idle wait timed out; timing anyway", file=sys.stderr)
+
+
 def main() -> None:
+    _wait_for_chip_idle()
+
     import jax
     import jax.numpy as jnp
 
