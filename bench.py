@@ -206,21 +206,42 @@ def _wait_for_chip_idle(max_wait_s: float = 1200.0) -> None:
     can delay but never lose the benchmark."""
     import os
 
-    markers = ("train_zoo.py", "eval_saved.py", "scripts/bench_",
-               "scripts/profile_")
-    me = os.getpid()
+    py_markers = ("train_zoo.py", "eval_saved.py", "scripts/bench_",
+                  "scripts/profile_", "bench.py")
+    # queue wrappers hold the chip BETWEEN python stages too — without
+    # these the guard can scan during a stage gap, see idle, and collide
+    # with the next 1h stage seconds later
+    sh_markers = ("tpu_queue_",)
+
+    def _ancestors() -> set:
+        # wrapper shells of THIS bench run can mention bench.py in their
+        # -c strings — matching them would make bench wait on itself
+        anc, pid = set(), os.getpid()
+        while pid > 1:
+            anc.add(pid)
+            try:
+                with open(f"/proc/{pid}/status") as f:
+                    pid = next(int(line.split()[1]) for line in f
+                               if line.startswith("PPid:"))
+            except (OSError, StopIteration):
+                break
+        return anc
+
+    skip = _ancestors()
     deadline = time.time() + max_wait_s
     while time.time() < deadline:
         busy = []
         for pid in os.listdir("/proc"):
-            if not pid.isdigit() or int(pid) == me:
+            if not pid.isdigit() or int(pid) in skip:
                 continue
             try:
                 with open(f"/proc/{pid}/cmdline", "rb") as f:
                     cmd = f.read().replace(b"\0", b" ").decode(errors="ignore")
             except OSError:
                 continue
-            if "python" in cmd and any(m in cmd for m in markers):
+            if (("python" in cmd and any(m in cmd for m in py_markers))
+                    or ("bash" in cmd
+                        and any(m in cmd for m in sh_markers))):
                 busy.append((pid, cmd.strip()[:100]))
         if not busy:
             return

@@ -233,6 +233,11 @@ def main():
                         "images (default: on-device scalars — the relay "
                         "D2H makes image fetches the dominant zoo cost)")
     a = p.parse_args()
+    if a.skip_eval and not a.save_params:
+        # train-only with nowhere to save = hours of chip time producing
+        # nothing (no eval ran, no weights kept)
+        p.error("--skip_eval requires --save_params (otherwise the "
+                "trained weights are discarded)")
     overrides = {k: getattr(a, k) for k in
                  ("base_filter", "num_resblocks", "res_scale",
                   "num_recursions", "lr", "adv_d_train_mode")

@@ -173,9 +173,14 @@ def sharded_predict(predict_fn, x: jax.Array, mesh, axis: str = "spatial"):
         fn_ref = (weakref.WeakMethod(predict_fn) if is_method
                   else weakref.ref(predict_fn))
     except TypeError:  # non-weakref-able callable: strong id-keyed cache
-        entry = _SHARDED_CACHE_STRONG.setdefault(
-            id(predict_fn), (predict_fn, {}))
+        entry = _SHARDED_CACHE_STRONG.pop(id(predict_fn), None)
+        if entry is None:
+            entry = (predict_fn, {})
         assert entry[0] is predict_fn  # strong ref pins the id
+        # pop/re-insert refreshes recency (LRU, not FIFO — a hot
+        # long-lived callable must survive churn inserts; mirrors
+        # sr/quant.py _capture_program)
+        _SHARDED_CACHE_STRONG[id(predict_fn)] = entry
         while len(_SHARDED_CACHE_STRONG) > _SHARDED_CACHE_STRONG_MAX:
             _SHARDED_CACHE_STRONG.pop(next(iter(_SHARDED_CACHE_STRONG)))
         per_fn, fn_ref = entry[1], (lambda _fn=predict_fn: _fn)

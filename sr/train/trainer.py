@@ -73,6 +73,13 @@ class Trainer:
         want_full = cfg.preshuffle_loss == "full"
         has_any = (self.spec.preshuffle_train is not None
                    or self.spec.preshuffle_train_full is not None)
+        if cfg.preshuffle_loss and not has_any:
+            # silent fallback to the normal loss would record a fake
+            # 1.0x in any preshuffle A/B — refuse instead
+            raise ValueError(
+                f"{self.spec.name}: preshuffle_loss requested but the "
+                "spec defines no pre-shuffle fold (only tail-shuffle "
+                "models support it — ESPCN 'last', EDSR 'last'/'full')")
         if cfg.preshuffle_loss and has_any:
             # the pre-shuffle loss path returns batch_stats unchanged
             # (loss_fn's new_bs = batch_stats): a BN-carrying model would
@@ -82,6 +89,13 @@ class Trainer:
                 raise ValueError(
                     f"{self.spec.name}: preshuffle_loss does not support "
                     "batchnorm models (batch stats would not advance)")
+            if want_full and self.spec.preshuffle_train_full is None:
+                # an A/B that silently ran the 'last' fold would record
+                # a fake 1.0x 'full' result — refuse instead
+                raise ValueError(
+                    f"{self.spec.name}: preshuffle_loss='full' requested "
+                    "but the spec defines no full-tail fold "
+                    "(preshuffle_train_full); use preshuffle_loss='last'")
             if want_full and self.spec.preshuffle_train_full is not None:
                 # (apply_fn, target_fn): full-tail fold, target is the
                 # model's own space_to_depth chain

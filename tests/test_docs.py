@@ -37,7 +37,10 @@ def test_cited_results_files_exist(doc):
         "only in /tmp)")
 
 
-_PERF_CITE = re.compile(r"PERF\.md (?:\"([^\"]+)\"|'([^']+)')")
+# [\s#]* tolerates the citation wrapping across comment lines
+# ('PERF.md\n# "section name"') — a same-line-only regex silently
+# skipped exactly the citation it was written to police
+_PERF_CITE = re.compile(r"PERF\.md[\s#]*(?:\"([^\"]+)\"|'([^']+)')")
 
 
 def test_perf_sections_cited_elsewhere_exist():

@@ -245,3 +245,20 @@ def test_espcn_preshuffle_loss_and_grads_match():
     for a, b in zip(jax.tree.leaves(g_n), jax.tree.leaves(g_p)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("model,mode,frag", [
+    ("FSRCNN", "last", "no pre-shuffle fold"),   # no hooks at all
+    ("FSRCNN", "full", "no pre-shuffle fold"),
+    ("ESPCN", "full", "no full-tail fold"),      # has 'last' only
+])
+def test_preshuffle_loss_refuses_ineligible(model, mode, frag):
+    """Requesting a preshuffle mode the spec cannot honor must REFUSE,
+    not silently fall back — a silent fallback records fake 1.0x rows
+    in any preshuffle A/B (round-5 review finding)."""
+    from sr.train.trainer import Trainer
+
+    cfg = SRConfig(model_name=model, num_channels=1, scale_factor=4,
+                   preshuffle_loss=mode, dtype="float32")
+    with pytest.raises(ValueError, match=frag):
+        Trainer(cfg)
