@@ -109,12 +109,14 @@ def test_preshuffle_loss_step_equivalent(name):
                                    rtol=1e-4, atol=1e-6)
 
 
-def test_preshuffle_loss_ignored_without_support():
-    """Models without a trailing shuffle (SRCNN) ignore the flag."""
-    tr, state, batch, _ = _setup("SRCNN", preshuffle_loss=True)
-    assert tr._preshuffle is None
-    state, m = tr.train_step(state, batch)
-    assert np.isfinite(float(m["loss"]))
+def test_preshuffle_loss_refused_without_support():
+    """Models without a trailing shuffle (SRCNN) REFUSE the flag —
+    the pre-round-5-review behavior (silent ignore) recorded fake 1.0x
+    rows in preshuffle A/Bs (see also test_train_fold refusal cases)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="no pre-shuffle fold"):
+        _setup("SRCNN", preshuffle_loss=True)
 
 
 # -- fit-loop arithmetic hardening (VERDICT r3 next #7) ----------------------
