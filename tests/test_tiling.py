@@ -160,3 +160,39 @@ def test_sharded_cache_evicts_and_reuses():
     del plain
     gc.collect()
     assert len(_SHARDED_CACHE) == 0
+
+
+def test_sharded_cache_strong_lru_recency():
+    """Non-weakref-able callables fall back to the bounded strong
+    cache; it must be LRU, not FIFO (round-5 review): a hot entry
+    touched between churn inserts survives eviction — an evicted hot
+    entry would re-pay a 40-200 s remote compile per 32 churn inserts."""
+    from sr.eval.tiling import (_SHARDED_CACHE_STRONG,
+                                _SHARDED_CACHE_STRONG_MAX)
+
+    mesh = make_mesh((1, 8), ("data", "spatial"))
+    x = jnp.ones((1, 16, 16, 1), jnp.float32)
+
+    class NoWeak:  # no __weakref__ slot → weakref.ref raises TypeError
+        __slots__ = ("k",)
+
+        def __call__(self, z):
+            return z + 1.0
+
+    _SHARDED_CACHE_STRONG.clear()
+    hot = NoWeak()
+    sharded_predict(hot, x, mesh)
+    assert id(hot) in _SHARDED_CACHE_STRONG
+    churn = []  # keep alive: ids must stay unique
+    for _ in range(_SHARDED_CACHE_STRONG_MAX - 1):
+        f = NoWeak()
+        churn.append(f)
+        sharded_predict(f, x, mesh)
+    sharded_predict(hot, x, mesh)  # touch -> most-recent
+    for _ in range(_SHARDED_CACHE_STRONG_MAX - 1):
+        f = NoWeak()
+        churn.append(f)
+        sharded_predict(f, x, mesh)
+    assert id(hot) in _SHARDED_CACHE_STRONG, "hot entry evicted (FIFO)"
+    assert len(_SHARDED_CACHE_STRONG) == _SHARDED_CACHE_STRONG_MAX
+    _SHARDED_CACHE_STRONG.clear()
