@@ -53,6 +53,23 @@ srresnet_x8)
     /root/r5/x8_flagship_SRResNet.npz --model SRResNet --variant int8_static \
     --test_dataset procedural --scale_factor 8 \
     --append results_x8_flagship.json ;;
+srgan_150k)
+  # round-3's 150k-stability horizon, reproduced on the procedural
+  # corpus (the 100k r5g run showed G stable through D saturation;
+  # this extends the evidence to the original claim's horizon)
+  run srgan_150k_train 10800 python scripts/train_zoo.py --steps 150000 \
+    --spd 100 --models SRGAN --vgg /root/r5/vgg19_synthetic.pth \
+    --train_dataset procedural --test_dataset procedural \
+    --save_params '/root/r5/srgan_150k_{model}.npz' --skip_eval \
+    --out /root/r5/srgan_150k_meta.json
+  run srgan_150k_plain 3600 python scripts/eval_saved.py \
+    /root/r5/srgan_150k_SRGAN.npz --model SRGAN --variant plain \
+    --test_dataset procedural --scale_factor 4 \
+    --append results_srgan_flagship_procedural.json
+  run srgan_150k_ens 3600 python scripts/eval_saved.py \
+    /root/r5/srgan_150k_SRGAN.npz --model SRGAN --variant ensemble \
+    --test_dataset procedural --scale_factor 4 \
+    --append results_srgan_flagship_procedural.json ;;
 *) echo "unknown stage $stage" ;;
 esac
 done
